@@ -1,0 +1,343 @@
+"""Geometry codec: target/prediction encode-decode, fully vectorized.
+
+TPU-native rewrite of the reference's ``Anno_Encoder``
+(``DGDE/model/anno_encoder.py:13-393``). Differences in *form*, not math:
+
+* Per-object ``Calib_P`` (B', 3, 4) arrays replace the per-image python
+  calibration loops (``decode_location_flatten`` anno_encoder.py:147-161,
+  ``decode_depth_from_keypoints_batch`` :193-224) — everything is a single
+  vmappable expression.
+* The dense edge-pair depth solve (:326-390) avoids materializing the
+  (n, n) difference matrices: the pair value H_ij = h_i - h_j factorizes
+  through per-keypoint scalars, so we gather over precomputed
+  upper-triangle index arrays — O(n_pairs) memory, identical ordering to
+  the reference's ``get_up`` double loop (:313-324).
+
+All geometry runs in float32 (the reference forces fp32 under AMP for the
+box matmul, anno_encoder.py:124).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+PI = float(np.pi)
+
+# Multi-bin orientation centers (reference anno_encoder.py:40)
+ALPHA_CENTERS = np.array([0.0, PI / 2, PI, -PI / 2], dtype=np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def triu_pair_indices(n: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Static (i, j) index arrays for all i<j pairs, in the same row-major
+    order as the reference's ``get_up`` double loop (anno_encoder.py:313-324).
+    """
+    i_idx, j_idx = np.triu_indices(n, k=1)
+    return i_idx.astype(np.int32), j_idx.astype(np.int32)
+
+
+def rad_to_matrix(rotys: jnp.ndarray) -> jnp.ndarray:
+    """(N,) yaw -> (N, 3, 3) rotation about camera Y
+    (reference anno_encoder.py:53-71)."""
+    cos, sin = jnp.cos(rotys), jnp.sin(rotys)
+    zeros = jnp.zeros_like(cos)
+    ones = jnp.ones_like(cos)
+    ry = jnp.stack(
+        [cos, zeros, sin, zeros, ones, zeros, -sin, zeros, cos], axis=-1
+    ).reshape(-1, 3, 3)
+    return ry
+
+
+# Corner gather index used by encode_box3d (reference anno_encoder.py:119-121).
+_BOX3D_INDEX = np.array(
+    [
+        [4, 5, 0, 1, 6, 7, 2, 3],
+        [0, 1, 2, 3, 4, 5, 6, 7],
+        [4, 0, 1, 5, 6, 2, 3, 7],
+    ],
+    dtype=np.int32,
+)
+
+
+def encode_box3d(rotys: jnp.ndarray, dims: jnp.ndarray, locs: jnp.ndarray) -> jnp.ndarray:
+    """(N,), (N,3) l/h/w, (N,3) center locs -> (N, 8, 3) corners.
+
+    Reference anno_encoder.py:93-128. dims order is (l, h, w); output corners
+    match the reference's gather construction.
+    """
+    rotys = rotys.reshape(-1)
+    dims = dims.reshape(-1, 3).astype(jnp.float32)
+    locs = locs.reshape(-1, 3).astype(jnp.float32)
+    N = rotys.shape[0]
+    ry = rad_to_matrix(rotys)
+
+    # (N, 9) half-dims; [0:4] positive, [4:] negative, gathered per axis
+    dims_corners = jnp.repeat(dims.reshape(-1, 1), 8, axis=1) * 0.5  # (3N, 8)
+    dims_corners = dims_corners.at[:, 4:].multiply(-1.0)
+    index = jnp.tile(jnp.asarray(_BOX3D_INDEX), (N, 1))  # (3N, 8)
+    box_3d_object = jnp.take_along_axis(dims_corners, index, axis=1)  # (3N, 8)
+    # geometry stays true fp32 on the MXU (the reference forces fp32 under
+    # AMP here, anno_encoder.py:124)
+    box_3d = jnp.matmul(ry, box_3d_object.reshape(N, 3, 8), precision=jax.lax.Precision.HIGHEST)
+    box_3d = box_3d + locs[:, :, None]
+    return box_3d.transpose(0, 2, 1)
+
+
+def decode_depth(
+    depths_offset: jnp.ndarray,
+    mode: str = "inv_sigmoid",
+    depth_ref: Tuple[float, float] = (26.494627, 16.05988),
+    depth_range: Optional[Tuple[float, float]] = (0.1, 100.0),
+) -> jnp.ndarray:
+    """Depth-head output -> metric depth (reference anno_encoder.py:130-145)."""
+    if mode == "exp":
+        depth = jnp.exp(depths_offset)
+    elif mode == "linear":
+        depth = depths_offset * depth_ref[1] + depth_ref[0]
+    elif mode == "inv_sigmoid":
+        depth = 1.0 / jax.nn.sigmoid(depths_offset) - 1.0
+    else:
+        raise ValueError(f"unknown depth mode {mode}")
+    if depth_range is not None:
+        depth = jnp.clip(depth, depth_range[0], depth_range[1])
+    return depth
+
+
+def project_image_to_rect(uv: jnp.ndarray, depth: jnp.ndarray, calib_P: jnp.ndarray) -> jnp.ndarray:
+    """(K,2) pixels + (K,) depth + (K,3,4) per-object P -> (K,3) camera XYZ.
+
+    Vectorized equivalent of Calibration.project_image_to_rect
+    (kitti_utils.py:399-418) with the per-image loop of
+    decode_location_flatten (anno_encoder.py:147-161) removed.
+    """
+    c_u = calib_P[:, 0, 2]
+    c_v = calib_P[:, 1, 2]
+    f_u = calib_P[:, 0, 0]
+    f_v = calib_P[:, 1, 1]
+    b_x = calib_P[:, 0, 3] / (-f_u)
+    b_y = calib_P[:, 1, 3] / (-f_v)
+    x = (uv[:, 0] - c_u) * depth / f_u + b_x
+    y = (uv[:, 1] - c_v) * depth / f_v + b_y
+    return jnp.stack([x, y, depth], axis=1)
+
+
+def decode_location(
+    points: jnp.ndarray,
+    offsets: jnp.ndarray,
+    depths: jnp.ndarray,
+    calib_P: jnp.ndarray,
+    pad_size: jnp.ndarray,
+    down_ratio: int = 4,
+) -> jnp.ndarray:
+    """Feature-map points + sub-pixel offsets + depths -> camera locations.
+
+    points: (K, 2) feature-map coords; offsets: (K, 2); depths: (K,);
+    calib_P: (K, 3, 4); pad_size: (K, 2). Reference anno_encoder.py:147-161.
+    """
+    uv = (points + offsets) * down_ratio - pad_size
+    return project_image_to_rect(uv, depths, calib_P)
+
+
+def decode_depth_from_keypoints(
+    pred_keypoints: jnp.ndarray,
+    pred_dimensions: jnp.ndarray,
+    calib_P: jnp.ndarray,
+    down_ratio: int = 4,
+    eps: float = 1e-3,
+    depth_range: Tuple[float, float] = (0.1, 100.0),
+) -> jnp.ndarray:
+    """Keypoint vertical extents -> three depth estimates per object.
+
+    pred_keypoints: (K, 10, 2) local offsets (8 corners + bottom/top center);
+    pred_dimensions: (K, 3) l/h/w; calib_P: (K, 3, 4).
+    Returns (K, 3): [center, corner_02 (even diag), corner_13 (odd diag)].
+    Reference anno_encoder.py:193-224 (ReLU'd heights + eps, clamped).
+    """
+    f_u = calib_P[:, 0, 0]
+    h3d = pred_dimensions[:, 1]
+    center_height = pred_keypoints[:, -2, 1] - pred_keypoints[:, -1, 1]
+    corner_02_height = pred_keypoints[:, (0, 2), 1] - pred_keypoints[:, (4, 6), 1]
+    corner_13_height = pred_keypoints[:, (1, 3), 1] - pred_keypoints[:, (5, 7), 1]
+
+    center_depth = f_u * h3d / (jax.nn.relu(center_height) * down_ratio + eps)
+    corner_02_depth = (f_u * h3d)[:, None] / (jax.nn.relu(corner_02_height) * down_ratio + eps)
+    corner_13_depth = (f_u * h3d)[:, None] / (jax.nn.relu(corner_13_height) * down_ratio + eps)
+    depths = jnp.stack(
+        [center_depth, corner_02_depth.mean(axis=1), corner_13_depth.mean(axis=1)], axis=1
+    )
+    return jnp.clip(depths, depth_range[0], depth_range[1])
+
+
+def decode_dimension(
+    cls_id: jnp.ndarray,
+    dims_offset: jnp.ndarray,
+    dim_mean: jnp.ndarray,
+    dim_std: jnp.ndarray,
+    modes: Tuple = ("exp", True, False),
+) -> jnp.ndarray:
+    """Dimension residuals -> metric l/h/w (reference anno_encoder.py:226-252)."""
+    if modes[0] == "None":
+        return dims_offset
+    cls_id = cls_id.reshape(-1).astype(jnp.int32)
+    mean = dim_mean[cls_id]
+    if modes[0] == "exp":
+        dims_offset = jnp.exp(dims_offset)
+    if modes[2]:
+        return dims_offset * dim_std[cls_id] + mean
+    return dims_offset * mean
+
+
+def decode_axes_orientation(
+    vector_ori: jnp.ndarray,
+    locations: jnp.ndarray,
+    orien_bin_size: int = 4,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Multi-bin orientation vector + locations -> (roty, alpha).
+
+    vector_ori: (K, bins*2 + bins*2) = [bin logits (2 each), sin/cos (2 each)].
+    Vectorized form of the reference's per-bin mask loop
+    (anno_encoder.py:254-304): argmax bin -> gather its sin/cos pair.
+    """
+    K = vector_ori.shape[0]
+    nb = orien_bin_size
+    bin_logits = vector_ori[:, : nb * 2].reshape(-1, nb, 2)
+    bin_prob = jax.nn.softmax(bin_logits, axis=2)[..., 1]
+    best_bin = jnp.argmax(bin_prob, axis=1)  # (K,)
+    offs = vector_ori[:, nb * 2 :].reshape(-1, nb, 2)
+    chosen = jnp.take_along_axis(offs, best_bin[:, None, None].astype(jnp.int32), axis=1)[:, 0]
+    alpha_centers = jnp.asarray(ALPHA_CENTERS)
+    orientations = jnp.arctan2(chosen[:, 0], chosen[:, 1]) + alpha_centers[best_bin]
+
+    locations = locations.reshape(-1, 3)
+    rays = jnp.arctan2(locations[:, 0], locations[:, 2])
+    alphas = orientations
+    rotys = alphas + rays
+    rotys = jnp.where(rotys > PI, rotys - 2 * PI, rotys)
+    rotys = jnp.where(rotys < -PI, rotys + 2 * PI, rotys)
+    alphas = jnp.where(alphas > PI, alphas - 2 * PI, alphas)
+    alphas = jnp.where(alphas < -PI, alphas + 2 * PI, alphas)
+    return rotys, alphas
+
+
+def decode_box2d_fcos(
+    centers: jnp.ndarray,
+    pred_offset: jnp.ndarray,
+    pad_size: Optional[jnp.ndarray] = None,
+    out_size: Optional[jnp.ndarray] = None,
+    down_ratio: int = 4,
+) -> jnp.ndarray:
+    """FCOS-style l/t/r/b offsets -> (K, 4) boxes
+    (reference anno_encoder.py:74-91). When pad_size/out_size are given, the
+    boxes are upscaled to the original image and clamped to it."""
+    centers = centers.reshape(-1, 2)
+    box2d = jnp.concatenate(
+        [centers - pred_offset[:, :2], centers + pred_offset[:, 2:]], axis=1
+    )
+    if pad_size is not None:
+        box2d = box2d * down_ratio - jnp.tile(pad_size.reshape(1, 2), (1, 2))
+        wh = out_size.reshape(-1)
+        box2d = jnp.stack(
+            [
+                jnp.clip(box2d[:, 0], 0, wh[0] - 1),
+                jnp.clip(box2d[:, 1], 0, wh[1] - 1),
+                jnp.clip(box2d[:, 2], 0, wh[0] - 1),
+                jnp.clip(box2d[:, 3], 0, wh[1] - 1),
+            ],
+            axis=1,
+        )
+    return box2d
+
+
+def decode_kpts_2d_img(
+    kpts_2d: jnp.ndarray,
+    bbox_points: jnp.ndarray,
+    offset_3d: jnp.ndarray,
+    pad_size: jnp.ndarray,
+    down_ratio: int = 4,
+) -> jnp.ndarray:
+    """Keypoint offsets (relative to the object's representative point) ->
+    original-image pixel coords (reference anno_encoder.py:392-393)."""
+    center = (bbox_points + offset_3d)[:, None, :]
+    return (kpts_2d + center) * down_ratio - pad_size[:, None, :]
+
+
+def decode_pairs_kpts_depth(
+    kpts_2d_img: jnp.ndarray,
+    kpts_3d: jnp.ndarray,
+    rot_y: jnp.ndarray,
+    calib_P: jnp.ndarray,
+    training: bool = False,
+    kpts_2d_mask: Optional[jnp.ndarray] = None,
+    pairs_topk: int = 1500,
+    clamp: Tuple[float, float] = (2.0, 80.0),
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Closed-form depth from every keypoint *pair* ("edge depths").
+
+    The paper's core equation (reference anno_encoder.py:326-390): with
+    normalized image coords y_k and object-local 3D keypoints
+    (X_k, Y_k, Z_k) rotated by roty, each pair (i, j) yields
+
+        Z_ij = | (h_i - h_j) | / | (y_i - y_j) |,
+        h_k = Y_k + y_k * (X_k sin r - Z_k cos r)
+
+    which is the factorized form of the reference's H/V difference matrices
+    (:346-371) — we never materialize (n, n), only gather n(n-1)/2 pairs.
+
+    Args:
+      kpts_2d_img: (K, n, 2) keypoints in original-image pixels.
+      kpts_3d: (K, n, 3) object-local 3D keypoints.
+      rot_y: (K,) or (K, 1) yaw.
+      calib_P: (K, 3, 4).
+      training: keep only the top-`pairs_topk` pairs by |Δy| (:377-382).
+      kpts_2d_mask: (K, n) optional visibility; returns the pairwise mask.
+
+    Returns: (depths, mask) with depths (K, n_pairs) or (K, pairs_topk);
+    b3 = P[2, 3] is subtracted at the end (:385).
+    """
+    K_, n = kpts_2d_img.shape[0], kpts_2d_img.shape[1]
+    fx = calib_P[:, 0, 0:1]
+    fy = calib_P[:, 1, 1:2]
+    cx = calib_P[:, 0, 2:3]
+    cy = calib_P[:, 1, 2:3]
+    b3 = calib_P[:, 2, 3]
+
+    x_n = (kpts_2d_img[:, :, 0] - cx) / fx  # (K, n)
+    y_n = (kpts_2d_img[:, :, 1] - cy) / fy  # (K, n)
+
+    X = kpts_3d[:, :, 0]
+    Y = kpts_3d[:, :, 1]
+    Z = kpts_3d[:, :, 2]
+    rot = rot_y.reshape(-1, 1)
+    cosr, sinr = jnp.cos(rot), jnp.sin(rot)
+    # C_k = X sin - Z cos ; h_k = Y_k + y_k * C_k  (B rows :346-349 folded)
+    C = X * sinr - Z * cosr
+    h = Y + y_n * C
+
+    i_idx, j_idx = triu_pair_indices(n)
+    i_idx = jnp.asarray(i_idx)
+    j_idx = jnp.asarray(j_idx)
+    dH = h[:, i_idx] - h[:, j_idx]  # (K, n_pairs)
+    dV = y_n[:, i_idx] - y_n[:, j_idx]
+    z_raw = jnp.abs(dH) / jnp.maximum(jnp.abs(dV), 1e-10)
+    z_raw = jnp.clip(z_raw, clamp[0], clamp[1])
+
+    depth_mask = None
+    if kpts_2d_mask is not None:
+        m = kpts_2d_mask.astype(z_raw.dtype)
+        depth_mask = m[:, i_idx] * m[:, j_idx]
+
+    if training:
+        _, good_idx = jax.lax.top_k(jnp.abs(dV), pairs_topk)
+        depth_all = jnp.take_along_axis(z_raw, good_idx, axis=-1)
+        if depth_mask is not None:
+            depth_mask = jnp.take_along_axis(depth_mask, good_idx, axis=-1)
+    else:
+        depth_all = z_raw
+
+    depth_all = depth_all - b3[:, None]
+    return depth_all, depth_mask
