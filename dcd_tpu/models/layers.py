@@ -1,0 +1,180 @@
+"""Shared flax building blocks: conv/BN/activation, DCN module, bilinear up.
+
+BatchNorm notes: the reference uses torch BN momentum 0.1 (new = 0.9*old +
+0.1*batch; ``dla_dcn.py:18``) -> flax momentum 0.9. SyncBatchNorm
+(``plain_train_net.py:56-57``) maps to ``axis_name='data'``: flax reduces
+batch moments with a cross-replica pmean, which is exactly SyncBN's
+semantics over the data-parallel mesh axis.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..ops.dcn import deform_conv2d
+
+BN_MOMENTUM_TORCH = 0.1  # reference dla_dcn.py:18
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm2d with optional cross-replica stats (SyncBN)."""
+
+    momentum: float = 1.0 - BN_MOMENTUM_TORCH
+    epsilon: float = 1e-5
+    axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        return nn.BatchNorm(
+            use_running_average=not train,
+            momentum=self.momentum,
+            epsilon=self.epsilon,
+            axis_name=self.axis_name if train else None,
+            dtype=self.dtype,
+        )(x)
+
+
+class ConvBnAct(nn.Module):
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    dilation: int = 1
+    use_bias: bool = False
+    act: Optional[Callable] = nn.relu
+    axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        pad = self.dilation * (self.kernel_size - 1) // 2
+        x = nn.Conv(
+            self.features,
+            (self.kernel_size, self.kernel_size),
+            strides=(self.stride, self.stride),
+            padding=((pad, pad), (pad, pad)),
+            kernel_dilation=(self.dilation, self.dilation),
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        x = BatchNorm(axis_name=self.axis_name, dtype=self.dtype, name="bn")(x, train)
+        if self.act is not None:
+            x = self.act(x)
+        return x
+
+
+class DCN(nn.Module):
+    """Modulated deformable conv module: an ordinary conv predicts per-tap
+    offsets and masks (zero-initialized so it starts as a plain conv), then
+    the deformable conv applies them.
+
+    Reference: ``DCN`` in DCNv2/DCN/dcn_v2.py:97-128 (conv_offset_mask
+    zero-init :114-116, sigmoid mask :122).
+    """
+
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    stride: int = 1
+    padding: int = 1
+    dilation: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        K = kh * kw
+        offset_mask = nn.Conv(
+            3 * K,
+            (kh, kw),
+            strides=(self.stride, self.stride),
+            padding=((self.padding, self.padding), (self.padding, self.padding)),
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            name="conv_offset_mask",
+        )(x)
+        o1, o2, mask_logits = jnp.split(offset_mask, 3, axis=-1)
+        # interleave (dy, dx) per tap: o1 holds dy for each tap, o2 dx
+        offset = jnp.stack([o1, o2], axis=-1).reshape(*o1.shape[:-1], 2 * K)
+        mask = jax.nn.sigmoid(mask_logits)
+
+        weight = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform"),
+            (kh, kw, x.shape[-1], self.features),
+            jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return deform_conv2d(
+            x,
+            offset.astype(x.dtype),
+            mask.astype(x.dtype),
+            weight.astype(x.dtype),
+            bias.astype(x.dtype),
+            stride=self.stride,
+            padding=self.padding,
+            dilation=self.dilation,
+        )
+
+
+def bilinear_kernel_1d(f: int) -> np.ndarray:
+    """1D factor of the bilinear upsampling kernel of size 2f
+    (reference fill_up_weights, dla_dcn.py:386-395)."""
+    size = f * 2
+    c = (2 * np.ceil(size / 2) - 1 - np.ceil(size / 2) % 2) / (2.0 * np.ceil(size / 2))
+    # reference: f = ceil(k/2); c = (2f - 1 - f%2)/(2f)
+    fc = np.ceil(size / 2)
+    c = (2 * fc - 1 - fc % 2) / (2.0 * fc)
+    i = np.arange(size)
+    return 1 - np.abs(i / fc - c)
+
+
+def bilinear_upsample_init(f: int) -> Callable:
+    """Initializer producing the depthwise bilinear kernel (2f, 2f, 1, C)."""
+
+    def init(key, shape, dtype=jnp.float32):
+        k1 = bilinear_kernel_1d(f)
+        k2 = np.outer(k1, k1)  # (2f, 2f)
+        kh, kw, _, C = shape
+        w = np.tile(k2[:, :, None, None], (1, 1, 1, C))
+        return jnp.asarray(w, dtype)
+
+    return init
+
+
+class BilinearUp(nn.Module):
+    """Learnable depthwise transpose-conv upsample, bilinear-initialized.
+
+    Reference: ``nn.ConvTranspose2d(o, o, f*2, stride=f, padding=f//2,
+    groups=o, bias=False)`` + fill_up_weights (dla_dcn.py:422-425).
+    Implemented as an input-dilated depthwise conv (same operator; the
+    bilinear kernel is symmetric, so no spatial flip is needed).
+    """
+
+    factor: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        f = self.factor
+        C = x.shape[-1]
+        k = f * 2
+        w = self.param("kernel", bilinear_upsample_init(f), (k, k, 1, C), jnp.float32)
+        # torch output: (H-1)*f - 2*(f//2) + 2f = H*f. As an lhs-dilated conv
+        # the symmetric padding is k - 1 - f//2.
+        pad = k - 1 - f // 2
+        return jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            w.astype(self.dtype),
+            window_strides=(1, 1),
+            padding=((pad, pad), (pad, pad)),
+            lhs_dilation=(f, f),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=C,
+        )

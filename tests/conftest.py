@@ -9,4 +9,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The axon TPU plugin (sitecustomize) force-sets jax_platforms="axon,cpu",
+# overriding the env var — pin it back to CPU for the test suite.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+assert jax.devices()[0].platform == "cpu", jax.devices()

@@ -1,0 +1,107 @@
+"""Deformable-conv tests mirroring the reference's two kernel checks
+(DCNv2/DCN/testcuda.py): zero-offset equivalence to plain conv, and
+gradient correctness by finite differences."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import jax.test_util
+import pytest
+
+from dcd_tpu.ops.dcn import deform_conv2d
+
+RNG = np.random.RandomState(7)
+
+
+def _plain_conv(x, weight, stride=1, padding=1, dilation=1):
+    return jax.lax.conv_general_dilated(
+        x,
+        weight,
+        window_strides=(stride, stride),
+        padding=((padding, padding), (padding, padding)),
+        rhs_dilation=(dilation, dilation),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+class TestZeroOffset:
+    """check_zero_offset from testcuda.py:32: with zero offsets and unit
+    masks, the deformable conv must equal a plain conv."""
+
+    @pytest.mark.parametrize("stride,padding,dilation", [(1, 1, 1), (2, 1, 1), (1, 2, 2)])
+    def test_equals_conv(self, stride, padding, dilation):
+        B, H, W, Cin, Cout = 2, 12, 16, 8, 16
+        kh = kw = 3
+        Ho = (H + 2 * padding - (dilation * (kh - 1) + 1)) // stride + 1
+        Wo = (W + 2 * padding - (dilation * (kw - 1) + 1)) // stride + 1
+        x = RNG.randn(B, H, W, Cin).astype(np.float32)
+        w = RNG.randn(kh, kw, Cin, Cout).astype(np.float32) * 0.1
+        offset = np.zeros((B, Ho, Wo, 2 * kh * kw), np.float32)
+        mask = np.ones((B, Ho, Wo, kh * kw), np.float32)
+        got = deform_conv2d(
+            jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask), jnp.asarray(w),
+            stride=stride, padding=padding, dilation=dilation,
+        )
+        want = _plain_conv(jnp.asarray(x), jnp.asarray(w), stride, padding, dilation)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
+
+    def test_integer_shift_offset(self):
+        """A constant integer offset must equal sampling a shifted image."""
+        B, H, W, C = 1, 10, 10, 4
+        x = RNG.randn(B, H, W, C).astype(np.float32)
+        w = np.zeros((3, 3, C, C), np.float32)
+        # identity kernel: only center tap, identity over channels
+        w[1, 1] = np.eye(C)
+        offset = np.zeros((B, H, W, 18), np.float32)
+        offset[..., 2 * 4] = 0.0  # center tap dy
+        offset[..., 2 * 4 + 1] = 1.0  # center tap dx: sample one to the right
+        mask = np.ones((B, H, W, 9), np.float32)
+        got = np.asarray(deform_conv2d(jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask), jnp.asarray(w)))
+        want = np.zeros_like(x)
+        want[:, :, :-1] = x[:, :, 1:]  # shifted left by one (sampled right)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    def test_half_mask_scales_output(self):
+        B, H, W, C = 1, 6, 6, 4
+        x = RNG.randn(B, H, W, C).astype(np.float32)
+        w = RNG.randn(3, 3, C, 8).astype(np.float32)
+        offset = np.zeros((B, H, W, 18), np.float32)
+        full = deform_conv2d(jnp.asarray(x), jnp.asarray(offset), jnp.ones((B, H, W, 9)), jnp.asarray(w))
+        half = deform_conv2d(jnp.asarray(x), jnp.asarray(offset), 0.5 * jnp.ones((B, H, W, 9)), jnp.asarray(w))
+        np.testing.assert_allclose(np.asarray(half), 0.5 * np.asarray(full), rtol=1e-4, atol=1e-5)
+
+
+class TestGradients:
+    """gradcheck from testcuda.py — finite differences in float64."""
+
+    def test_gradcheck_all_inputs(self):
+        with jax.enable_x64():
+            rng = np.random.RandomState(1234)  # own stream: suite-order independent
+            B, H, W, Cin, Cout = 1, 5, 6, 3, 4
+            x = jnp.asarray(rng.randn(B, H, W, Cin))
+            w = jnp.asarray(rng.randn(3, 3, Cin, Cout) * 0.3)
+            # keep sampling positions >= 0.2 away from integers: bilinear
+            # sampling is non-differentiable at integer coords, which breaks
+            # finite differences (the reference's gradcheck has the same
+            # sensitivity)
+            signs = rng.choice([-1.0, 1.0], (B, H, W, 18))
+            offset = jnp.asarray(signs * rng.uniform(0.25, 0.45, (B, H, W, 18)))
+            mask = jnp.asarray(rng.uniform(0.2, 0.9, (B, H, W, 9)))
+            b = jnp.asarray(rng.randn(Cout) * 0.1)
+
+            def f(x, offset, mask, w, b):
+                return deform_conv2d(x, offset, mask, w, b)
+
+            # rtol bounded by finite-difference truncation error (~1e-4)
+            jax.test_util.check_grads(
+                f, (x, offset, mask, w, b), order=1, modes=["rev"], atol=2e-3, rtol=2e-3
+            )
+
+    def test_grad_flows_to_offsets(self):
+        B, H, W, C = 1, 6, 6, 4
+        x = jnp.asarray(RNG.randn(B, H, W, C).astype(np.float32))
+        w = jnp.asarray(RNG.randn(3, 3, C, 4).astype(np.float32))
+        offset = jnp.asarray(RNG.uniform(-0.4, 0.4, (B, H, W, 18)).astype(np.float32))
+        mask = jnp.asarray(np.ones((B, H, W, 9), np.float32))
+        g = jax.grad(lambda o: (deform_conv2d(x, o, mask, w) ** 2).sum())(offset)
+        assert np.abs(np.asarray(g)).max() > 0
