@@ -1,0 +1,181 @@
+"""Detection heads: class heatmap + grouped regression heads + edge fusion.
+
+Parity with ``DGDE/model/head/detector_predictor.py:19-207``:
+* class head: 3x3 conv + BN + act -> 1x1 conv with focal bias init
+  ``-log(1/p - 1)`` (:60-66)
+* one 3x3 feature layer per regression group, then a 1x1 conv per key
+  (:80-102); uncertainty heads get small xavier init (:93-94)
+* edge fusion (:172-196): features are gathered along the image-boundary
+  ring, passed through 1D convs, and added back into the heatmap and
+  3d-offset channels at the boundary pixels. The reference uses
+  ``F.grid_sample`` at integer pixel coords with align_corners=True, which
+  is exactly a gather — implemented here as a gather + masked scatter-add.
+
+Outputs: {'cls': clamped-sigmoid heatmap, 'reg': concatenated regression
+channels} in NHWC.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..config import Config
+from ..ops.nms import sigmoid_hm
+from .layers import BatchNorm, ConvBnAct
+
+
+class Converter_key2channel:
+    """Key -> channel-slice lookup into the concatenated regression map
+    (reference model/layers/utils.py:22-37)."""
+
+    def __init__(self, keys, channels):
+        self.keys = [k for group in keys for k in group]
+        self.channels = [c for group in channels for c in group]
+
+    def __call__(self, key: str) -> slice:
+        index = self.keys.index(key)
+        s = sum(self.channels[:index])
+        return slice(s, s + self.channels[index], 1)
+
+
+class EdgeFusion(nn.Module):
+    """1D conv tower over the boundary ring (reference :113-125)."""
+
+    head_conv: int
+    out_channels: int
+    kernel_size: int = 3
+    use_bn: bool = True
+    use_relu: bool = False
+    axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        # x: (B, L, C) features along the ring; replicate padding
+        pad = self.kernel_size // 2
+        x = jnp.concatenate(
+            [jnp.repeat(x[:, :1], pad, axis=1), x, jnp.repeat(x[:, -1:], pad, axis=1)], axis=1
+        )
+        x = nn.Conv(
+            self.head_conv, (self.kernel_size,), padding="VALID", dtype=self.dtype, name="conv1"
+        )(x)
+        if self.use_bn:
+            x = BatchNorm(axis_name=self.axis_name, dtype=self.dtype, name="bn")(x, train)
+        if self.use_relu:
+            x = nn.relu(x)
+        return nn.Conv(self.out_channels, (1,), dtype=self.dtype, name="conv2")(x)
+
+
+class Predictor(nn.Module):
+    cfg: Config
+    axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        features: jnp.ndarray,  # (B, H, W, C)
+        edge_indices: Optional[jnp.ndarray] = None,  # (B, L, 2) int
+        edge_len: Optional[jnp.ndarray] = None,  # (B,) int
+        train: bool = True,
+    ) -> Dict[str, jnp.ndarray]:
+        cfg = self.cfg
+        head = cfg.model.head
+        classes = cfg.datasets.max_classes_num
+        head_conv = head.num_channel
+        B, H, W, C = features.shape
+
+        act = nn.relu if head.active_func == "relu" else nn.leaky_relu
+
+        # ----- class head -----
+        feature_cls = ConvBnAct(
+            head_conv, 3, act=act, axis_name=self.axis_name, dtype=self.dtype, name="class_feat"
+        )(features, train)
+        bias_init_val = -float(np.log(1.0 / head.init_p - 1.0))
+        output_cls = nn.Conv(
+            classes,
+            (1, 1),
+            use_bias=True,
+            bias_init=nn.initializers.constant(bias_init_val),
+            dtype=self.dtype,
+            name="class_out",
+        )(feature_cls)
+
+        # ----- regression heads -----
+        output_regs = []
+        offset_reg_feature = None
+        offset_group_start = None
+        chan_cursor = 0
+        for gi, group in enumerate(head.regression_heads):
+            reg_feature = ConvBnAct(
+                head_conv, 3, act=act, axis_name=self.axis_name, dtype=self.dtype, name=f"reg_feat_{gi}"
+            )(features, train)
+            for ki, key in enumerate(group):
+                ch = head.regression_channels[gi][ki]
+                kernel_init = nn.initializers.lecun_normal()
+                if "uncertainty" in key and head.uncertainty_init:
+                    kernel_init = nn.initializers.variance_scaling(0.0001, "fan_avg", "normal")
+                out = nn.Conv(
+                    ch, (1, 1), use_bias=True, kernel_init=kernel_init,
+                    dtype=self.dtype, name=f"reg_out_{gi}_{key}",
+                )(reg_feature)
+                if key == "3d_offset":
+                    offset_reg_feature = reg_feature
+                    offset_group_start = chan_cursor
+                output_regs.append(out)
+                chan_cursor += ch
+
+        output_reg = jnp.concatenate(output_regs, axis=-1)
+
+        # ----- edge fusion -----
+        if head.enable_edge_fusion and edge_indices is not None:
+            assert offset_reg_feature is not None
+            L = edge_indices.shape[1]
+            flat_idx = (edge_indices[..., 1] * W + edge_indices[..., 0]).astype(jnp.int32)  # (B, L)
+
+            def gather(fm):
+                return jnp.take_along_axis(
+                    fm.reshape(B, H * W, -1), flat_idx[:, :, None], axis=1
+                )
+
+            edge_cls_feat = gather(feature_cls)  # (B, L, head_conv)
+            edge_off_feat = gather(offset_reg_feature)
+            edge_cls_out = EdgeFusion(
+                head_conv, classes, head.edge_fusion_kernel_size,
+                use_bn=(head.edge_fusion_norm == "BN"), use_relu=head.edge_fusion_relu,
+                axis_name=self.axis_name, dtype=self.dtype, name="trunc_heatmap_conv",
+            )(edge_cls_feat, train)
+            edge_off_out = EdgeFusion(
+                head_conv, 2, head.edge_fusion_kernel_size,
+                use_bn=(head.edge_fusion_norm == "BN"), use_relu=head.edge_fusion_relu,
+                axis_name=self.axis_name, dtype=self.dtype, name="trunc_offset_conv",
+            )(edge_off_feat, train)
+
+            valid = (jnp.arange(L)[None, :] < edge_len[:, None]).astype(output_cls.dtype)
+            edge_cls_out = edge_cls_out * valid[:, :, None]
+            edge_off_out = edge_off_out * valid[:, :, None]
+
+            def scatter_add(fm, upd):
+                def one(fm_b, idx_b, upd_b):
+                    flat = fm_b.reshape(H * W, -1)
+                    return flat.at[idx_b].add(upd_b).reshape(fm_b.shape)
+
+                return jax.vmap(one)(fm, flat_idx, upd)
+
+            output_cls = scatter_add(output_cls, edge_cls_out)
+            off_sl = slice(offset_group_start, offset_group_start + 2)
+            fused_off = scatter_add(output_reg[..., off_sl], edge_off_out)
+            output_reg = jnp.concatenate(
+                [output_reg[..., : off_sl.start], fused_off, output_reg[..., off_sl.stop :]],
+                axis=-1,
+            )
+
+        return {
+            "cls": sigmoid_hm(output_cls).astype(jnp.float32),
+            "reg": output_reg.astype(jnp.float32),
+        }
