@@ -37,6 +37,20 @@ def make_extra_kpts(rng: np.random.RandomState, n: int, l: float, h: float, w: f
     return pts
 
 
+def scaled_P(image_size: Tuple[int, int]) -> np.ndarray:
+    """Scale the KITTI intrinsics to a non-default image size so projected
+    objects land inside the frame (keeps the real P2 at the native size)."""
+    img_w, img_h = image_size
+    if (img_w, img_h) == KITTI_IMAGE_SIZE:
+        return KITTI_P2.copy()
+    P = KITTI_P2.copy()
+    sx = img_w / KITTI_IMAGE_SIZE[0]
+    sy = img_h / KITTI_IMAGE_SIZE[1]
+    P[0] *= sx
+    P[1] *= sy
+    return P
+
+
 def make_scene(
     seed: int = 0,
     num_objs: int = 6,
@@ -46,7 +60,7 @@ def make_scene(
     """Returns (HWC uint8 image, objects, calibration)."""
     rng = np.random.RandomState(seed)
     img_w, img_h = image_size
-    calib = Calibration(KITTI_P2.copy())
+    calib = Calibration(scaled_P(image_size))
 
     objs: List[Object3d] = []
     for _ in range(num_objs):

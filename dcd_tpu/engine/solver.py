@@ -1,0 +1,84 @@
+"""Optimizer + LR schedule (optax).
+
+Mirrors the reference solver (``DGDE/solver/__init__.py:27-92``):
+AdamW(betas=(0.9, 0.99)) with 2x LR on biases (BIAS_LR_FACTOR,
+solver/__init__.py:22), cosine warmup for WARMUP_STEPS
+(CosineWarmupLR, learning_schedules_fastai.py:85-93) followed by
+multi-step x0.1 decay at epoch boundaries, floored at LR_CLIP.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import Config
+
+
+def make_lr_schedule(cfg: Config, iters_per_epoch: int):
+    s = cfg.solver
+    base_lr = s.base_lr
+    warmup_steps = s.warmup_steps if s.lr_warmup else 0
+    decay_steps = [int(e * iters_per_epoch) for e in s.decay_epoch_steps]
+    eta_min = base_lr / 10.0  # DIV_FACTOR=10 (solver/__init__.py:86-89)
+    lr_floor = s.lr_clip
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        # cosine warmup: eta_min + (base - eta_min) * (1 - cos(pi t/T)) / 2
+        warm = eta_min + (base_lr - eta_min) * (1.0 - jnp.cos(jnp.pi * step / max(warmup_steps, 1))) / 2.0
+        decay = jnp.asarray(1.0, jnp.float32)
+        for ds in decay_steps:
+            decay = decay * jnp.where(step >= ds, s.lr_decay, 1.0)
+        main = jnp.maximum(base_lr * decay, lr_floor)
+        if warmup_steps <= 0:
+            return main
+        return jnp.where(step < warmup_steps, warm, main)
+
+    return schedule
+
+
+def _bias_mask(params, is_bias: bool):
+    def f(path, leaf):
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        b = name in ("bias",)
+        return b if is_bias else not b
+
+    return jax.tree_util.tree_map_with_path(f, params)
+
+
+def build_optimizer(cfg: Config, params, iters_per_epoch: int) -> optax.GradientTransformation:
+    s = cfg.solver
+    schedule = make_lr_schedule(cfg, iters_per_epoch)
+
+    def adamw(factor):
+        return optax.chain(
+            optax.scale_by_adam(b1=0.9, b2=0.99),
+            optax.add_decayed_weights(s.weight_decay),
+            optax.scale_by_schedule(lambda t: -schedule(t) * factor),
+        )
+
+    # global grad-norm clip happens across ALL params before the step
+    # (clip_grad_norm_ in trainer.py:144), so it sits outside the per-group
+    # transforms.
+    clip = (
+        optax.clip_by_global_norm(s.grad_norm_clip) if s.grad_norm_clip > 0 else optax.identity()
+    )
+    if s.bias_lr_factor != 1.0:
+        labels = jax.tree_util.tree_map_with_path(
+            lambda path, _: "bias"
+            if (hasattr(path[-1], "key") and path[-1].key == "bias")
+            else "rest",
+            params,
+        )
+        return optax.chain(
+            clip,
+            optax.multi_transform(
+                {"bias": adamw(s.bias_lr_factor), "rest": adamw(1.0)}, labels
+            ),
+        )
+    return optax.chain(clip, adamw(1.0))

@@ -1,0 +1,118 @@
+"""Jitted training step + training state.
+
+Replaces the reference's host-side training loop body
+(``DGDE/engine/trainer.py:121-155``): one jitted function does forward,
+loss, backward, grad clip, optimizer update, and BN running-stat update.
+AMP/GradScaler (trainer.py:118-150) is unnecessary on TPU — activations can
+run in bf16 natively (cfg.model.fp16) while params, losses, and geometry
+stay fp32; no loss scaling is needed for bf16.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from ..config import Config
+from ..models.detector import KeypointDetector
+from .loss import compute_losses
+from .solver import build_optimizer, make_lr_schedule
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads, batch_stats):
+        updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
+        new_params = optax.apply_updates(self.params, updates)
+        return self.replace(
+            step=self.step + 1,
+            params=new_params,
+            batch_stats=batch_stats,
+            opt_state=new_opt_state,
+        )
+
+
+def build_model(cfg: Config) -> KeypointDetector:
+    dtype = jnp.bfloat16 if cfg.model.fp16 else jnp.float32
+    return KeypointDetector(cfg, dtype=dtype)
+
+
+def create_train_state(cfg: Config, rng, iters_per_epoch: int = 1000) -> Tuple[KeypointDetector, TrainState]:
+    model = build_model(cfg)
+    H, W = cfg.input.height_train, cfg.input.width_train
+    Ho, Wo = H // cfg.model.backbone.down_ratio, W // cfg.model.backbone.down_ratio
+    L = (Ho + Wo) * 2
+    dummy = jnp.zeros((1, H, W, 3), jnp.float32)
+    edge_idx = jnp.zeros((1, L, 2), jnp.int32)
+    edge_len = jnp.ones((1,), jnp.int32)
+    variables = model.init(rng, dummy, edge_idx, edge_len, train=False)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", FrozenDict())
+    tx = build_optimizer(cfg, params, iters_per_epoch)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        tx=tx,
+    )
+    return model, state
+
+
+def make_train_step(cfg: Config, model: KeypointDetector, iters_per_epoch: int = 1000):
+    """Returns a jittable (state, batch) -> (state, logs) function.
+
+    Under jit with the batch sharded over the mesh's ``data`` axis, the
+    global-batch loss mean makes XLA insert the gradient all-reduce, and
+    BatchNorm's global-batch moments give SyncBN semantics.
+    """
+    schedule = make_lr_schedule(cfg, iters_per_epoch)
+
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        def loss_fn(params):
+            preds, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["images"],
+                batch["edge_indices"],
+                batch["edge_len"],
+                train=True,
+                mutable=["batch_stats"],
+            )
+            total, loss_dict, log_dict = compute_losses(cfg, preds, batch)
+            return total, (mutated["batch_stats"], log_dict)
+
+        (total, (new_bs, logs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads=grads, batch_stats=new_bs)
+        logs = dict(logs)
+        logs["total_loss"] = total
+        logs["lr"] = schedule(state.step)
+        logs["grad_norm"] = optax.global_norm(grads)
+        return new_state, logs
+
+    return train_step
+
+
+def make_eval_forward(cfg: Config, model: KeypointDetector):
+    """Jittable eval-mode forward returning raw head outputs."""
+
+    def forward(params, batch_stats, images, edge_indices, edge_len):
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            images,
+            edge_indices,
+            edge_len,
+            train=False,
+        )
+
+    return forward

@@ -100,7 +100,9 @@ def decode_depth(
     elif mode == "linear":
         depth = depths_offset * depth_ref[1] + depth_ref[0]
     elif mode == "inv_sigmoid":
-        depth = 1.0 / jax.nn.sigmoid(depths_offset) - 1.0
+        # epsilon floor keeps the un-clipped value finite so the clip's
+        # gradient is well-defined (fp32 sigmoid underflows below x~-103)
+        depth = 1.0 / jnp.maximum(jax.nn.sigmoid(depths_offset), 1e-12) - 1.0
     else:
         raise ValueError(f"unknown depth mode {mode}")
     if depth_range is not None:

@@ -1,0 +1,134 @@
+"""GMW stage-2 tests: edge expansion, gcn norm, compute_z vs DGDE solver,
+forward shapes, and a small overfit."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from dcd_tpu.models import gmw
+from dcd_tpu.ops.codec import triu_pair_indices
+from dcd_tpu.data.synthetic import KITTI_P2
+from dcd_tpu.data import kitti_geometry as geo
+
+RNG = np.random.RandomState(0)
+N_KPTS = 12  # small for CPU tests; E = 66
+E = N_KPTS * (N_KPTS - 1) // 2
+
+
+def test_edge_expand_order():
+    f = jnp.asarray(RNG.randn(2, N_KPTS, 3).astype(np.float32))
+    out = np.asarray(gmw.edge_expand(f))
+    assert out.shape == (2, E, 6)
+    i_idx, j_idx = triu_pair_indices(N_KPTS)
+    fnp = np.asarray(f)
+    np.testing.assert_allclose(out[:, :, :3], fnp[:, i_idx])
+    np.testing.assert_allclose(out[:, :, 3:], fnp[:, j_idx])
+
+
+def test_gcn_norm_matches_torch_semantics():
+    x = RNG.randn(3, 50, 8).astype(np.float32)
+    out = np.asarray(gmw.gcn_norm(jnp.asarray(x)))
+    m = x.mean(axis=1, keepdims=True)
+    v = x.var(axis=1, keepdims=True, ddof=1)  # torch unbiased
+    want = (x - m) / np.sqrt(v + 1e-3)
+    np.testing.assert_allclose(out, want, rtol=1e-5, atol=1e-6)
+
+
+def test_compute_z_recovers_depth():
+    """Normalized keypoints projected from a known pose must yield edge
+    depths equal to the object depth."""
+    depth = 22.0
+    loc = np.array([1.0, 0.5, depth])
+    ry = -0.8
+    kpts_local = RNG.uniform(-1.5, 1.5, size=(N_KPTS, 3))
+    calib = geo.Calibration(KITTI_P2)
+    cam = (geo.roty_matrix(ry) @ kpts_local.T).T + loc
+    uv, _ = calib.project_rect_to_image(cam)
+    # normalize like gen_data (detector_loss.py:152-155)
+    kn = uv.copy()
+    kn[:, 0] = (uv[:, 0] - calib.c_u) / calib.f_u
+    kn[:, 1] = (uv[:, 1] - calib.c_v) / calib.f_v
+    z, good_idx = gmw.compute_z(
+        jnp.asarray(kn[None], jnp.float32),
+        jnp.asarray(kpts_local[None], jnp.float32),
+        jnp.asarray([ry], jnp.float32),
+        topk=30,
+    )
+    med = float(np.median(np.asarray(z)[0]))
+    assert abs(med - depth) < 0.6, med
+    assert good_idx.shape == (1, 30)
+
+
+def test_gmw_forward_shapes():
+    model = gmw.GMW(num_kpts=N_KPTS, features=32, depth=3)
+    k2 = jnp.asarray(RNG.randn(2, N_KPTS, 2).astype(np.float32) * 0.1)
+    k3 = jnp.asarray(RNG.randn(2, N_KPTS, 3).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), k2, k3)
+    w, P = model.apply(params, k2, k3)
+    assert w.shape == (2, E)
+    assert P.shape == (2, E, E)
+    np.testing.assert_allclose(np.asarray(P.sum((-2, -1))), 1.0, atol=1e-4)
+    assert np.isfinite(np.asarray(w)).all()
+
+
+def test_correspondence_loss_identity_best():
+    P = jnp.eye(6)[None] / 6.0
+    I = jnp.eye(6)[None]
+    l_ident = float(gmw.correspondence_loss(P, I))
+    l_perm = float(gmw.correspondence_loss(jnp.roll(P, 1, axis=-1), I))
+    assert l_ident < l_perm
+
+
+def test_gmw_overfit_depth():
+    """A few steps of AdamW on one batch must reduce cls+reg loss."""
+    model = gmw.GMW(num_kpts=N_KPTS, features=16, depth=2)
+    B = 4
+    k2, k3, rots, gts = [], [], [], []
+    for b in range(B):
+        depth = 10.0 + 5 * b
+        loc = np.array([0.5, 0.2, depth])
+        ry = 0.3 * b
+        kl = RNG.uniform(-1.5, 1.5, size=(N_KPTS, 3))
+        calib = geo.Calibration(KITTI_P2)
+        cam = (geo.roty_matrix(ry) @ kl.T).T + loc
+        uv, _ = calib.project_rect_to_image(cam)
+        kn = uv.copy()
+        kn[:, 0] = (uv[:, 0] - calib.c_u) / calib.f_u
+        kn[:, 1] = (uv[:, 1] - calib.c_v) / calib.f_v
+        # noise on 2D so the weighting has something to learn
+        kn += RNG.randn(*kn.shape) * 1e-3
+        k2.append(kn)
+        k3.append(kl)
+        rots.append(ry)
+        gts.append(depth)
+    k2 = jnp.asarray(np.stack(k2), jnp.float32)
+    k3 = jnp.asarray(np.stack(k3), jnp.float32)
+    rots = jnp.asarray(rots, jnp.float32)
+    gts = jnp.asarray(gts, jnp.float32)
+
+    params = model.init(jax.random.PRNGKey(0), k2, k3)
+    tx = optax.adamw(1e-3)
+    opt_state = tx.init(params)
+    pre_depths, good_idx = gmw.compute_z(k2, k3, rots, topk=30)
+    eye = jnp.eye(E)[None].repeat(B, 0)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            w, P = model.apply(p, k2, k3)
+            cls = gmw.correspondence_loss(P, eye)
+            reg, _ = gmw.compute_reg_loss(pre_depths, w, gts, good_idx)
+            return 1.0 * cls + 1.0 * reg
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    losses = []
+    for _ in range(15):
+        params, opt_state, loss = step(params, opt_state)
+        losses.append(float(loss))
+        assert np.isfinite(losses[-1])
+    assert losses[-1] < losses[0], losses
