@@ -1,0 +1,71 @@
+"""Single-chip DGDE inference benchmark.
+
+Measures end-to-end jitted inference (backbone + heads + postprocess) on
+the full 384x1280 input, prints ONE JSON line. Baseline target: 100
+images/sec/chip (BASELINE.md north star).
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from dcd_tpu.config import dgde_run_config
+    from dcd_tpu.engine.infer import postprocess
+    from dcd_tpu.engine.train import build_model
+    from dcd_tpu.data.synthetic import KITTI_P2
+
+    cfg = dgde_run_config()
+    batch = 8
+    H, W = cfg.input.height_train, cfg.input.width_train
+    Ho, Wo = H // 4, W // 4
+    L = (Ho + Wo) * 2
+
+    model = build_model(cfg)
+    rng = jax.random.PRNGKey(0)
+    images = jax.random.normal(rng, (batch, H, W, 3), jnp.float32)
+    edge_idx = jnp.zeros((batch, L, 2), jnp.int32)
+    edge_len = jnp.full((batch,), L - 1, jnp.int32)
+    variables = model.init(rng, images[:1], edge_idx[:1], edge_len[:1], train=False)
+
+    calib_P = jnp.asarray(np.tile(KITTI_P2[None], (batch, 1, 1)), jnp.float32)
+    pad_size = jnp.asarray(np.tile([[19.0, 4.0]], (batch, 1)), jnp.float32)
+    img_size = jnp.asarray(np.tile([[1242.0, 375.0]], (batch, 1)), jnp.float32)
+
+    @jax.jit
+    def infer(images, edge_idx, edge_len):
+        preds = model.apply(variables, images, edge_idx, edge_len, train=False)
+        return postprocess(cfg, preds, calib_P, pad_size, img_size)
+
+    # warmup / compile
+    out = infer(images, edge_idx, edge_len)
+    jax.block_until_ready(out)
+
+    n_iters = 20
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        out = infer(images, edge_idx, edge_len)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    images_per_sec = batch * n_iters / dt
+    baseline = 100.0  # images/sec/chip target (BASELINE.md)
+    print(
+        json.dumps(
+            {
+                "metric": "dgde_infer_images_per_sec",
+                "value": round(images_per_sec, 2),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(images_per_sec / baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
