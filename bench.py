@@ -12,8 +12,15 @@ import numpy as np
 
 
 def main():
+    import os
+
     import jax
     import jax.numpy as jnp
+
+    # persistent compile cache: repeat bench runs skip the big XLA compile
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.join(os.path.dirname(__file__), ".jax_cache")
+    )
 
     from dcd_tpu.config import dgde_run_config
     from dcd_tpu.engine.infer import postprocess
@@ -31,7 +38,9 @@ def main():
     images = jax.random.normal(rng, (batch, H, W, 3), jnp.float32)
     edge_idx = jnp.zeros((batch, L, 2), jnp.int32)
     edge_len = jnp.full((batch,), L - 1, jnp.int32)
-    variables = model.init(rng, images[:1], edge_idx[:1], edge_len[:1], train=False)
+    variables = jax.jit(
+        lambda r, im, ei, el: model.init(r, im, ei, el, train=False)
+    )(rng, images[:1], edge_idx[:1], edge_len[:1])
 
     calib_P = jnp.asarray(np.tile(KITTI_P2[None], (batch, 1, 1)), jnp.float32)
     pad_size = jnp.asarray(np.tile([[19.0, 4.0]], (batch, 1)), jnp.float32)

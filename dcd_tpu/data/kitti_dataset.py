@@ -1,0 +1,211 @@
+"""File-based KITTI dataset + batching/prefetch loader.
+
+Reference: ``KITTIDataset`` (DGDE/data/datasets/kitti.py:30-168) for the
+directory layout (image_2/label_2/calib/ImageSets + kpts_ann json), class
+filtering, and empty-image dropping; ``TrainingSampler`` /
+``InferenceSampler`` (data/samplers/distributed_sampler.py:12-202) for the
+infinite shuffled rank-strided sampling; ``make_data_loader``
+(data/build.py:58-166) for world-divisible batching.
+
+The torch DataLoader worker pool becomes a thread-pool prefetcher feeding
+fixed-shape numpy batches (the target assembly in
+:mod:`.target_encoder` is the heavy per-sample work).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..config import Config
+from .augmentations import ComposedAugmentation
+from .kitti_geometry import Calibration, Object3d, read_label
+from .target_encoder import EncodedSample, collate, encode_targets
+
+
+def _load_image(path: str) -> np.ndarray:
+    from PIL import Image
+
+    return np.asarray(Image.open(path).convert("RGB"))
+
+
+class KITTIDataset:
+    def __init__(self, cfg: Config, root: str, is_train: bool = True, augment: bool = True):
+        self.cfg = cfg
+        self.root = root
+        self.is_train = is_train
+        self.image_dir = os.path.join(root, "image_2")
+        self.label_dir = os.path.join(root, "label_2")
+        self.calib_dir = os.path.join(root, "calib")
+        split = cfg.datasets.train_split if is_train else cfg.datasets.test_split
+        self.split = split
+        imageset = os.path.join(root, "ImageSets", f"{split}.txt")
+        with open(imageset, "r") as f:
+            self.ids = [l.strip() for l in f if l.strip()]
+        self.classes = cfg.datasets.detect_classes
+        self.extra_kpts_num = cfg.model.head.extra_kpts_num
+
+        # keypoint annotation JSON (reference kitti.py:118-127)
+        self.kpts_ann = {}
+        for name in ({"train": ["train"], "val": ["val"]}.get(split, ["train", "val"])):
+            p = os.path.join(root, "..", "kpts_ann", f"kpts_ann_{name}.json")
+            p2 = os.path.join("kpts_ann", f"kpts_ann_{name}.json")
+            for cand in (p, p2):
+                if os.path.exists(cand):
+                    with open(cand, "r") as f:
+                        self.kpts_ann.update(json.load(f))
+                    break
+
+        self.augmentation = None
+        if is_train and augment:
+            flip_p = cfg.input.aug_params[0][0] if cfg.input.aug_params else 0.5
+            self.augmentation = ComposedAugmentation(flip_prob=flip_p)
+
+        if is_train:
+            # drop images with no relevant objects (reference kitti.py:130-142)
+            keep = []
+            for i in self.ids:
+                objs = self._load_objects(i)
+                if objs and any(o.type in self.classes for o in objs):
+                    keep.append(i)
+            self.ids = keep
+
+    def __len__(self):
+        return len(self.ids)
+
+    def _load_objects(self, img_id: str) -> Optional[List[Object3d]]:
+        if self.split == "test":
+            return None
+        path = os.path.join(self.label_dir, f"{img_id}.txt")
+        anns = self.kpts_ann.get(str(int(img_id)), [])
+        return read_label(path, anns, self.extra_kpts_num)
+
+    def get_sample(self, index: int, rng: Optional[np.random.RandomState] = None) -> EncodedSample:
+        img_id = self.ids[index]
+        img = _load_image(os.path.join(self.image_dir, f"{img_id}.png"))
+        calib = Calibration.from_kitti_file(os.path.join(self.calib_dir, f"{img_id}.txt"))
+        objs = self._load_objects(img_id)
+        if objs is not None:
+            objs = [o for o in objs if o.type in self.classes or o.type == "DontCare"]
+        if self.augmentation is not None and rng is not None:
+            img, objs, calib = self.augmentation(img, objs, calib, rng)
+        return encode_targets(img, objs, calib, self.cfg, img_id=img_id, is_train=self.is_train)
+
+
+class InfiniteTrainingSampler:
+    """Infinite shuffled index stream, strided by process
+    (reference TrainingSampler, distributed_sampler.py:12-56)."""
+
+    def __init__(self, size: int, shuffle: bool = True, seed: int = 0,
+                 process_index: int = 0, process_count: int = 1):
+        self.size = size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.process_index = process_index
+        self.process_count = process_count
+
+    def __iter__(self) -> Iterator[int]:
+        g = np.random.RandomState(self.seed)
+        while True:
+            order = g.permutation(self.size) if self.shuffle else np.arange(self.size)
+            yield from order[self.process_index :: self.process_count].tolist()
+
+
+class InferenceSampler:
+    """One sharded pass (reference distributed_sampler.py:175-202)."""
+
+    def __init__(self, size: int, process_index: int = 0, process_count: int = 1):
+        shard = (size - 1) // process_count + 1
+        begin = shard * process_index
+        self.indices = list(range(begin, min(begin + shard, size)))
+
+    def __iter__(self):
+        return iter(self.indices)
+
+    def __len__(self):
+        return len(self.indices)
+
+
+class DataLoader:
+    """Threaded prefetching batch loader producing fixed-shape dicts."""
+
+    def __init__(
+        self,
+        dataset: KITTIDataset,
+        batch_size: int,
+        sampler,
+        num_workers: int = 4,
+        prefetch: int = 4,
+        seed: int = 0,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.sampler = sampler
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self.seed = seed
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        idx_iter = iter(self.sampler)
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+        lock = threading.Lock()
+
+        def next_batch_indices():
+            with lock:
+                out = []
+                try:
+                    for _ in range(self.batch_size):
+                        out.append(next(idx_iter))
+                except StopIteration:
+                    pass
+                return out
+
+        def worker(wid: int):
+            rng = np.random.RandomState(self.seed * 1000 + wid)
+            while not stop.is_set():
+                indices = next_batch_indices()
+                if not indices:
+                    q.put(None)
+                    return
+                samples = [self.dataset.get_sample(i, rng) for i in indices]
+                batch = collate(samples)
+                batch["img_ids"] = [s.img_id for s in samples]
+                q.put(batch)
+
+        threads = [
+            threading.Thread(target=worker, args=(w,), daemon=True) for w in range(self.num_workers)
+        ]
+        for t in threads:
+            t.start()
+        finished = 0
+        try:
+            while finished < self.num_workers:
+                item = q.get()
+                if item is None:
+                    finished += 1
+                    continue
+                yield item
+        finally:
+            stop.set()
+
+
+def make_data_loader(cfg: Config, root: str, is_train: bool = True,
+                     process_index: int = 0, process_count: int = 1) -> DataLoader:
+    """World-size-divisible batch split (reference data/build.py:58-128)."""
+    dataset = KITTIDataset(cfg, root, is_train=is_train)
+    global_batch = cfg.solver.ims_per_batch if is_train else cfg.test.ims_per_batch
+    assert global_batch % process_count == 0, (global_batch, process_count)
+    local_batch = global_batch // process_count
+    if is_train:
+        sampler = InfiniteTrainingSampler(
+            len(dataset), seed=max(cfg.seed, 0), process_index=process_index, process_count=process_count
+        )
+    else:
+        sampler = InferenceSampler(len(dataset), process_index, process_count)
+    return DataLoader(dataset, local_batch, sampler, seed=max(cfg.seed, 0))

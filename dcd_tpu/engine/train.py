@@ -56,7 +56,11 @@ def create_train_state(cfg: Config, rng, iters_per_epoch: int = 1000) -> Tuple[K
     dummy = jnp.zeros((1, H, W, 3), jnp.float32)
     edge_idx = jnp.zeros((1, L, 2), jnp.int32)
     edge_len = jnp.ones((1,), jnp.int32)
-    variables = model.init(rng, dummy, edge_idx, edge_len, train=False)
+    # jit the init: eager init dispatches every op separately, which is
+    # pathologically slow through the remote TPU tunnel
+    variables = jax.jit(
+        lambda r, im, ei, el: model.init(r, im, ei, el, train=False)
+    )(rng, dummy, edge_idx, edge_len)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", FrozenDict())
     tx = build_optimizer(cfg, params, iters_per_epoch)

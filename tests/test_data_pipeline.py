@@ -1,0 +1,183 @@
+"""Augmentation + file-based dataset/loader tests (fake KITTI tree on disk)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from dcd_tpu.config import dgde_run_config
+from dcd_tpu.data import synthetic
+from dcd_tpu.data.augmentations import flip_horizontal, resize_scene
+from dcd_tpu.data.kitti_dataset import (
+    DataLoader,
+    InferenceSampler,
+    InfiniteTrainingSampler,
+    KITTIDataset,
+    make_data_loader,
+)
+from dcd_tpu.data.target_encoder import encode_targets
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return dgde_run_config()
+
+
+class TestFlip:
+    def test_projection_consistency_after_flip(self, cfg):
+        """Flipped scene must still satisfy the 3D->2D consistency the
+        target encoder assumes (reprojected center == center + offset)."""
+        img, objs, calib = synthetic.make_scene(seed=11, num_objs=6)
+        fimg, fobjs, fcalib = flip_horizontal(img, objs, calib)
+        s = encode_targets(fimg, fobjs, fcalib, cfg, img_id="000011")
+        t = s.targets
+        mask = t["reg_mask"].astype(bool)
+        assert mask.sum() > 0
+        for i in np.where(mask)[0]:
+            P = t["Calib_P"][i]
+            hom = np.concatenate([t["locations"][i], [1.0]])
+            uvw = P @ hom
+            uv = uvw[:2] / uvw[2]
+            fm = (uv + t["pad_size"]) / 4.0
+            want = t["target_centers"][i] + t["offset_3D"][i]
+            np.testing.assert_allclose(fm, want, atol=1e-3)
+
+    def test_box_flip_geometry(self, cfg):
+        img, objs, calib = synthetic.make_scene(seed=5, num_objs=5)
+        img_w = img.shape[1]
+        fimg, fobjs, fcalib = flip_horizontal(img, objs, calib)
+        for o, fo in zip(objs, fobjs):
+            np.testing.assert_allclose(fo.box2d[0], img_w - 1 - o.box2d[2], atol=1e-5)
+            np.testing.assert_allclose(fo.t[0], -o.t[0])
+            assert -np.pi <= fo.ry <= np.pi
+
+    def test_double_flip_identity(self, cfg):
+        img, objs, calib = synthetic.make_scene(seed=6, num_objs=4)
+        f2img, f2objs, f2calib = flip_horizontal(*flip_horizontal(img, objs, calib))
+        np.testing.assert_array_equal(f2img, img)
+        for o, f2 in zip(objs, f2objs):
+            np.testing.assert_allclose(f2.t, o.t, atol=1e-9)
+            err = abs(f2.ry - o.ry)
+            assert min(err, 2 * np.pi - err) < 1e-9
+            np.testing.assert_allclose(f2.extra_kpts_3D, o.extra_kpts_3D)
+        np.testing.assert_allclose(f2calib.P, calib.P, atol=1e-9)
+
+    def test_flipped_extra_kpts_project_into_flipped_box(self, cfg):
+        img, objs, calib = synthetic.make_scene(seed=7, num_objs=3)
+        img_w = img.shape[1]
+        _, fobjs, fcalib = flip_horizontal(img, objs, calib)
+        for o, fo in zip(objs, fobjs):
+            uv, _ = calib.project_rect_to_image(o.generate_extra_kpts_3d_loc())
+            fuv, _ = fcalib.project_rect_to_image(fo.generate_extra_kpts_3d_loc())
+            # mirror is exact up to the P[2,3] (~0.003 m) projective term,
+            # which shifts pixels by (W-1)*P23/z ~ 0.2 px
+            np.testing.assert_allclose(fuv[:, 0], img_w - 1 - uv[:, 0], atol=0.5)
+            np.testing.assert_allclose(fuv[:, 1], uv[:, 1], atol=1e-6)
+
+
+class TestResize:
+    def test_projection_scales(self, cfg):
+        img, objs, calib = synthetic.make_scene(seed=8, num_objs=4)
+        rimg, robjs, rcalib = resize_scene(img, objs, calib, 0.5)
+        assert rimg.shape[0] == int(round(img.shape[0] * 0.5))
+        uv, _ = calib.project_rect_to_image(objs[0].generate_corners3d())
+        ruv, _ = rcalib.project_rect_to_image(robjs[0].generate_corners3d())
+        np.testing.assert_allclose(ruv, uv * 0.5, rtol=1e-6)
+
+
+class TestSamplers:
+    def test_training_sampler_covers_all(self):
+        s = InfiniteTrainingSampler(10, seed=1)
+        it = iter(s)
+        seen = {next(it) for _ in range(10)}
+        assert seen == set(range(10))
+
+    def test_rank_strides_disjoint(self):
+        s0 = iter(InfiniteTrainingSampler(8, seed=3, process_index=0, process_count=2))
+        s1 = iter(InfiniteTrainingSampler(8, seed=3, process_index=1, process_count=2))
+        a = [next(s0) for _ in range(4)]
+        b = [next(s1) for _ in range(4)]
+        assert set(a) | set(b) == set(range(8))
+        assert not (set(a) & set(b))
+
+    def test_inference_sampler_partition(self):
+        parts = [list(InferenceSampler(10, r, 3)) for r in range(3)]
+        flat = sum(parts, [])
+        assert sorted(flat) == list(range(10))
+
+
+@pytest.fixture(scope="module")
+def fake_kitti_root(tmp_path_factory, cfg):
+    """Write synthetic scenes as a KITTI directory tree."""
+    import json
+
+    root = tmp_path_factory.mktemp("kitti") / "training"
+    for sub in ("image_2", "label_2", "calib", "ImageSets"):
+        os.makedirs(root / sub, exist_ok=True)
+    kpts_ann = {}
+    ids = []
+    from PIL import Image
+
+    for i in range(4):
+        img, objs, calib = synthetic.make_scene(seed=i, num_objs=4)
+        img_id = f"{i:06d}"
+        ids.append(img_id)
+        Image.fromarray(img).save(root / "image_2" / f"{img_id}.png")
+        with open(root / "calib" / f"{img_id}.txt", "w") as f:
+            f.write("P2: " + " ".join(str(v) for v in calib.P.reshape(-1)) + "\n")
+            f.write("P3: " + " ".join(str(v) for v in calib.P.reshape(-1)) + "\n")
+            f.write("R0_rect: " + " ".join(str(v) for v in np.eye(3).reshape(-1)) + "\n")
+            f.write("Tr_velo_to_cam: " + " ".join(str(v) for v in np.eye(3, 4).reshape(-1)) + "\n")
+        anns = []
+        with open(root / "label_2" / f"{img_id}.txt", "w") as f:
+            for o in objs:
+                f.write(
+                    f"Car {o.truncation:.2f} {o.occlusion} {o.alpha:.2f} "
+                    f"{o.box2d[0]:.2f} {o.box2d[1]:.2f} {o.box2d[2]:.2f} {o.box2d[3]:.2f} "
+                    f"{o.h:.2f} {o.w:.2f} {o.l:.2f} "
+                    f"{o.t[0]:.2f} {o.t[1]:.2f} {o.t[2]:.2f} {o.ry:.2f}\n"
+                )
+                # annotation stores bottom-centered kpts (loader shifts by h/2)
+                kp = o.extra_kpts_3D.copy()
+                kp[:, 1] += o.h / 2
+                anns.append(
+                    {
+                        "dim": [round(o.h, 2), round(o.w, 2), round(o.l, 2)],
+                        "3dkeypoints": kp.reshape(-1).tolist(),
+                        "2dkeypoints": np.zeros((kp.shape[0], 3)).reshape(-1).tolist(),
+                        "find_pcl": 1,
+                    }
+                )
+        kpts_ann[str(int(img_id))] = anns
+    with open(root / "ImageSets" / "train.txt", "w") as f:
+        f.write("\n".join(ids))
+    with open(root / "ImageSets" / "val.txt", "w") as f:
+        f.write("\n".join(ids))
+    os.makedirs(root / ".." / "kpts_ann", exist_ok=True)
+    for split in ("train", "val"):
+        with open(root / ".." / "kpts_ann" / f"kpts_ann_{split}.json", "w") as f:
+            json.dump(kpts_ann, f)
+    return str(root)
+
+
+class TestFileDataset:
+    def test_dataset_loads_and_matches_kpts(self, cfg, fake_kitti_root):
+        ds = KITTIDataset(cfg, fake_kitti_root, is_train=True, augment=False)
+        assert len(ds) == 4
+        s = ds.get_sample(0)
+        t = s.targets
+        assert t["reg_mask"].sum() > 0
+        assert t["find_pcl"].sum() > 0  # kpts_ann matching worked
+
+    def test_loader_batches(self, cfg, fake_kitti_root):
+        import dataclasses
+
+        cfg2 = dataclasses.replace(
+            cfg, solver=dataclasses.replace(cfg.solver, ims_per_batch=2)
+        )
+        loader = make_data_loader(cfg2, fake_kitti_root, is_train=True)
+        it = iter(loader)
+        batch = next(it)
+        assert batch["images"].shape[0] == 2
+        assert batch["hm"].shape == (2, 1, cfg.output_height, cfg.output_width)
+        assert len(batch["img_ids"]) == 2
