@@ -168,6 +168,7 @@ def encode_targets(
     trunc_mask = np.zeros([max_objs], dtype=np.float32)
     reg_weight = np.zeros([max_objs], dtype=np.float32)
     ori_mask = np.ones([max_objs], dtype=np.float32)
+    splat_jobs = []  # (cls_id, center, rx, ry, kind) — drawn in one native call
 
     if objs is not None:
         for i, obj in enumerate(objs):
@@ -302,15 +303,11 @@ def encode_targets(
                     bh = min(target_center[1] - box2d[1], box2d[3] - target_center[1])
                     rx = max(0, int(bw * cfg.input.heatmap_ratio))
                     ry_ = max(0, int(bh * cfg.input.heatmap_ratio))
-                    heat_map[cls_id] = hm_coder.draw_umich_gaussian_2d(
-                        heat_map[cls_id], target_center, rx, ry_
-                    )
+                    splat_jobs.append((cls_id, target_center.copy(), rx, ry_, 1))
                 else:
                     radius = hm_coder.gaussian_radius(bbox_dim[1], bbox_dim[0])
                     radius = max(0, int(radius))
-                    heat_map[cls_id] = hm_coder.draw_umich_gaussian(
-                        heat_map[cls_id], target_center, radius
-                    )
+                    splat_jobs.append((cls_id, target_center.copy(), radius, radius, 0))
 
                 cls_ids[i] = cls_id
                 target_centers[i] = target_center
@@ -338,6 +335,18 @@ def encode_targets(
                 reg_mask[i] = 1
                 reg_weight[i] = 1
                 trunc_mask[i] = float(approx_center)
+
+    if splat_jobs:
+        from .. import native
+
+        native.splat_batch(
+            heat_map,
+            np.array([j[0] for j in splat_jobs], np.int32),
+            np.stack([j[1] for j in splat_jobs]).astype(np.int32),
+            np.array([j[2] for j in splat_jobs], np.int32),
+            np.array([j[3] for j in splat_jobs], np.int32),
+            np.array([j[4] for j in splat_jobs], np.int32),
+        )
 
     targets = dict(
         hm=heat_map,

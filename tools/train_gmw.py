@@ -1,0 +1,160 @@
+#!/usr/bin/env python
+"""GMW (stage 2) training / validation CLI.
+
+Mirrors ``GMW/main.py``: loads gen_data_{train,infer}.json, trains the
+graph-matching weighting net with the epoch-50 loss-weight flip, validates
+by refining detection depths and rewriting KITTI result txts, then runs the
+official AP evaluator.
+
+Usage:
+  python tools/train_gmw.py --train_data gen_data/gen_data_train.json \
+      --val_data gen_data/gen_data_infer.json --kitti_path /path/kitti \
+      --log_dir logs/gmw --epochs 100
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def parse_args():
+    # flags mirror GMW/main.py:47-93
+    p = argparse.ArgumentParser()
+    p.add_argument("--train_data", default="gen_data/gen_data_train.json")
+    p.add_argument("--val_data", default="gen_data/gen_data_infer.json")
+    p.add_argument("--kitti_path", default=None)
+    p.add_argument("--log_dir", default="logs/gmw")
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--weight_decay", type=float, default=1e-4)
+    p.add_argument("--cls_weight", type=float, default=1.0)
+    p.add_argument("--reg_weight", type=float, default=0.1)
+    p.add_argument("--reg_loss_start_epoch", type=int, default=50)
+    p.add_argument("--evaluate", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--num_kpts", type=int, default=73)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+    import jax.numpy as jnp
+
+    from dcd_tpu.data.gen_data import load_gen_data_infer, load_gen_data_train
+    from dcd_tpu.engine.gmw_train import (
+        GMWConfig,
+        create_gmw_state,
+        loss_weights_for_epoch,
+        make_gmw_predict,
+        make_gmw_train_step,
+        rescale_location,
+    )
+    from dcd_tpu.utils.logger import setup_logger
+    from dcd_tpu.utils.metrics import MetricLogger
+
+    cfg = GMWConfig(
+        num_kpts=args.num_kpts,
+        lr=args.lr,
+        weight_decay=args.weight_decay,
+        epochs=args.epochs,
+        batch_size=args.batch_size,
+        cls_weight=args.cls_weight,
+        reg_weight=args.reg_weight,
+        reg_loss_start_epoch=args.reg_loss_start_epoch,
+    )
+    logger = setup_logger("dcd_tpu.gmw", args.log_dir)
+    model, state = create_gmw_state(cfg, jax.random.PRNGKey(args.seed))
+    step = jax.jit(make_gmw_train_step(cfg, model))
+    predict = jax.jit(make_gmw_predict(cfg, model))
+
+    train = load_gen_data_train(args.train_data, cfg.num_kpts)
+    n_train = train["kpts_2d"].shape[0]
+    logger.info(f"train objects: {n_train}")
+    rng = np.random.RandomState(args.seed)
+    meters = MetricLogger()
+
+    if not args.evaluate:
+        for epoch in range(1, args.epochs + 1):
+            cls_w, reg_w = loss_weights_for_epoch(cfg, epoch)
+            order = rng.permutation(n_train)
+            for start in range(0, n_train - cfg.batch_size + 1, cfg.batch_size):
+                idx = order[start : start + cfg.batch_size]
+                batch = {
+                    "kpts_2d": jnp.asarray(train["kpts_2d"][idx]),
+                    "kpts_3d": jnp.asarray(train["kpts_3d"][idx]),
+                    "pred_rot": jnp.asarray(train["pred_rot"][idx, 0]),
+                    "gt_depth": jnp.asarray(train["gt_location"][idx, 2]),
+                }
+                state, logs = step(state, batch, jnp.float32(cls_w), jnp.float32(reg_w))
+                meters.update(**{k: float(v) for k, v in logs.items()})
+            logger.info(f"epoch {epoch}: {meters}")
+
+    # validation: refine depths and rewrite KITTI txts (GMW/main.py:486-564)
+    if args.val_data and os.path.exists(args.val_data):
+        arrays, img_idx = load_gen_data_infer(args.val_data, cfg.num_kpts)
+        n_val = arrays["kpts_2d"].shape[0]
+        result_dir = os.path.join(args.log_dir, "kitti_results_for_eval")
+        os.makedirs(result_dir, exist_ok=True)
+        refined = {}
+        bs = max(args.batch_size, 1)
+        for start in range(0, n_val, bs):
+            sl = slice(start, min(start + bs, n_val))
+            batch = {
+                "kpts_2d": jnp.asarray(arrays["kpts_2d"][sl]),
+                "kpts_3d": jnp.asarray(arrays["kpts_3d"][sl]),
+                "pred_rot": jnp.asarray(arrays["pred_rot"][sl, 0]),
+            }
+            depths = np.asarray(predict(state.params, batch))
+            locs = rescale_location(arrays["pred_location"][sl], depths, arrays["dim"][sl])
+            for k, (img, det) in enumerate(img_idx[sl]):
+                refined.setdefault(img, {})[det] = locs[k]
+        # write txts using the original box/dim/rot/score + refined location
+        import json
+
+        with open(args.val_data) as f:
+            raw = json.load(f)
+        ids = sorted(raw.keys())
+        for img in ids:
+            lines = []
+            for det, a in enumerate(raw[img]):
+                loc = refined.get(img, {}).get(det, a["pred_location"])
+                box, dim = a["box"], a["dim"]
+                ori = a["pred_rot"][0] if isinstance(a["pred_rot"], list) else a["pred_rot"]
+                score = a["score"][0] if isinstance(a["score"], list) else a["score"]
+                alpha = ori - np.arctan2(loc[0], loc[2])
+                lines.append(
+                    f"Car -1.00 -1 {alpha:.7f} "
+                    + " ".join(f"{v:.7f}" for v in box)
+                    + " "
+                    + " ".join(f"{v:.7f}" for v in dim)
+                    + " "
+                    + " ".join(f"{v:.7f}" for v in loc)
+                    + f" {ori:.7f} {score:.7f}"
+                )
+            with open(os.path.join(result_dir, f"{img}.txt"), "w") as f:
+                f.write("\n".join(lines) + ("\n" if lines else ""))
+        logger.info(f"wrote refined detections to {result_dir}")
+
+        if args.kitti_path:
+            from dcd_tpu.evaluation import evaluate_from_files
+
+            result, ret = evaluate_from_files(
+                os.path.join(args.kitti_path, "training", "label_2"),
+                result_dir,
+                os.path.join(args.kitti_path, "training", "ImageSets", "val.txt"),
+                current_class=0,
+                metric="R40",
+            )
+            logger.info("\n" + result)
+
+
+if __name__ == "__main__":
+    main()
