@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from ..ops.dcn import deform_conv2d
+from ..ops.dcn import deform_conv2d, deform_conv2d_dense
 
 BN_MOMENTUM_TORCH = 0.1  # reference dla_dcn.py:18
 
@@ -83,6 +83,10 @@ class DCN(nn.Module):
     stride: int = 1
     padding: int = 1
     dilation: int = 1
+    # 'dense' (gather-free windowed form, TPU hot path) or 'gather' (exact
+    # unbounded sampling; fine on CPU, pathological on TPU)
+    impl: str = "dense"
+    window_radius: int = 3
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -111,6 +115,18 @@ class DCN(nn.Module):
             jnp.float32,
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        if self.impl == "dense":
+            return deform_conv2d_dense(
+                x,
+                offset.astype(x.dtype),
+                mask.astype(x.dtype),
+                weight.astype(x.dtype),
+                bias.astype(x.dtype),
+                stride=self.stride,
+                padding=self.padding,
+                dilation=self.dilation,
+                radius=self.window_radius,
+            )
         return deform_conv2d(
             x,
             offset.astype(x.dtype),

@@ -115,3 +115,98 @@ def deform_conv2d(
     if bias is not None:
         out = out + bias
     return out.astype(x.dtype)
+
+
+def deform_conv2d_dense(
+    x: jnp.ndarray,  # (B, H, W, Cin)
+    offset: jnp.ndarray,  # (B, Ho, Wo, 2*K) (dy, dx) per tap
+    mask: jnp.ndarray,  # (B, Ho, Wo, K)
+    weight: jnp.ndarray,  # (kh, kw, Cin, Cout)
+    bias: Optional[jnp.ndarray] = None,
+    stride: int = 1,
+    padding: int = 1,
+    dilation: int = 1,
+    radius: int = 3,
+) -> jnp.ndarray:
+    """Gather-free modulated deformable conv (TPU hot path).
+
+    XLA lowers per-element gathers on TPU to ~1 GB/s scalar loops, which
+    made the direct formulation 40x slower than a plain conv. This version
+    clamps offsets to ``[-radius, radius]`` and enumerates every integer
+    displacement in the window as a *static* shift of x, weighting each by
+    a bilinear-coefficient plane computed from the offsets:
+
+        sampled_k(p) = sum_{a,b in [-R, R+1]} c_k,ab(p) * x(p + t_k + (a, b))
+
+    where c has at most 4 nonzeros per pixel (the bilinear corners). All
+    ops are pads/slices + VPU FMAs + one MXU matmul per tap, so it runs at
+    tensor-core speed. Exactly equal to :func:`deform_conv2d` whenever
+    |offset| <= radius (tests assert this); larger offsets saturate — a
+    documented deviation from the reference CUDA kernel's unbounded
+    sampling, sized so the decoder's learned offsets (typically ~1-2 px at
+    these strides) stay in the exact regime.
+    """
+    B, H, W, Cin = x.shape
+    kh, kw, _, Cout = weight.shape
+    K = kh * kw
+    Ho, Wo = offset.shape[1], offset.shape[2]
+    R = radius
+    compute_dtype = x.dtype
+
+    # pad once for the union of all shifts: tap in [-pad, kh-1-pad] (dilated)
+    # plus window [-R, R+1]
+    max_tap = dilation * (kh - 1)
+    pad_lo = R + padding  # most negative total displacement
+    pad_hi = R + 1 + max_tap - padding  # most positive
+    xp = jnp.pad(x, ((0, 0), (pad_lo, pad_hi), (pad_lo, pad_hi), (0, 0)))
+
+    def window_slice(total_dy: int, total_dx: int) -> jnp.ndarray:
+        """x sampled at (out*stride - pad + total_d) for every output pixel."""
+        y0 = pad_lo - padding + total_dy
+        x0 = pad_lo - padding + total_dx
+        return jax.lax.slice(
+            xp,
+            (0, y0, x0, 0),
+            (B, y0 + (Ho - 1) * stride + 1, x0 + (Wo - 1) * stride + 1, Cin),
+            (1, stride, stride, 1),
+        )
+
+    out = jnp.zeros((B, Ho, Wo, Cout), dtype=jnp.float32)
+    sampled_all = []
+    for k in range(K):
+        i, j = divmod(k, kw)
+        dy = jnp.clip(offset[..., 2 * k], -R, R)
+        dx = jnp.clip(offset[..., 2 * k + 1], -R, R)
+        iy = jnp.floor(dy)
+        ix = jnp.floor(dx)
+        fy = dy - iy
+        fx = dx - ix
+
+        # per-axis weight planes for each integer shift in the window
+        wy = {}
+        wx = {}
+        for a in range(-R, R + 2):
+            wy[a] = jnp.where(iy == a, 1.0 - fy, 0.0) + jnp.where(iy == a - 1, fy, 0.0)
+            wx[a] = jnp.where(ix == a, 1.0 - fx, 0.0) + jnp.where(ix == a - 1, fx, 0.0)
+
+        acc = jnp.zeros((B, Ho, Wo, Cin), dtype=compute_dtype)
+        for a in range(-R, R + 2):
+            # horizontal pass for this vertical shift
+            row = jnp.zeros((B, Ho, Wo, Cin), dtype=compute_dtype)
+            for b in range(-R, R + 2):
+                shifted = window_slice(i * dilation + a, j * dilation + b)
+                row = row + wx[b].astype(compute_dtype)[..., None] * shifted
+            acc = acc + wy[a].astype(compute_dtype)[..., None] * row
+        sampled_all.append(acc * mask[..., k : k + 1].astype(compute_dtype))
+
+    # one fused MXU matmul over all taps: (B, Ho, Wo, K*Cin) @ (K*Cin, Cout)
+    cols = jnp.concatenate(sampled_all, axis=-1)
+    # tap-major (K, Cin) blocks matching the sampled concat order
+    w_mat = weight.reshape(K * Cin, Cout)
+    out = jnp.dot(
+        cols.astype(compute_dtype), w_mat.astype(compute_dtype),
+        preferred_element_type=jnp.float32,
+    )
+    if bias is not None:
+        out = out + bias
+    return out.astype(x.dtype)
