@@ -27,7 +27,11 @@ def main():
     from dcd_tpu.engine.train import build_model
     from dcd_tpu.data.synthetic import KITTI_P2
 
+    import dataclasses
+
     cfg = dgde_run_config()
+    # bf16 activations for inference (fp32 params; geometry stays fp32)
+    cfg = dataclasses.replace(cfg, model=dataclasses.replace(cfg.model, fp16=True))
     batch = 8
     H, W = cfg.input.height_train, cfg.input.width_train
     Ho, Wo = H // 4, W // 4
@@ -51,15 +55,20 @@ def main():
         preds = model.apply(variables, images, edge_idx, edge_len, train=False)
         return postprocess(cfg, preds, calib_P, pad_size, img_size)
 
+    def fetch(out):
+        # force device completion with a host copy — block_until_ready does
+        # not synchronize on all PJRT transports (e.g. the axon tunnel)
+        return np.asarray(out["dets"]).ravel()[0]
+
     # warmup / compile
     out = infer(images, edge_idx, edge_len)
-    jax.block_until_ready(out)
+    fetch(out)
 
     n_iters = 20
     t0 = time.perf_counter()
     for _ in range(n_iters):
         out = infer(images, edge_idx, edge_len)
-    jax.block_until_ready(out)
+    fetch(out)
     dt = time.perf_counter() - t0
 
     images_per_sec = batch * n_iters / dt
