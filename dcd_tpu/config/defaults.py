@@ -113,6 +113,10 @@ class HeadConfig:
     )
     modify_invalid_keypoint_depth: bool = False
     bn_momentum: float = 0.1
+    # deeper head variant (reference detector_predictor.py:47-49,134-151)
+    deeper_head: bool = False
+    stacked_convs: int = 2
+    dcn_on_last_conv: bool = True
     uncertainty_init: bool = True
     uncertainty_range: Tuple[float, float] = (-10.0, 10.0)
     keypoint_loss: str = "L1"

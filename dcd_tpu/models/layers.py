@@ -17,6 +17,7 @@ import numpy as np
 from flax import linen as nn
 
 from ..ops.dcn import deform_conv2d, deform_conv2d_dense
+from ..ops.dcn_pallas import deform_conv2d_pallas
 
 BN_MOMENTUM_TORCH = 0.1  # reference dla_dcn.py:18
 
@@ -83,8 +84,9 @@ class DCN(nn.Module):
     stride: int = 1
     padding: int = 1
     dilation: int = 1
-    # 'dense' (gather-free windowed form, TPU hot path) or 'gather' (exact
-    # unbounded sampling; fine on CPU, pathological on TPU)
+    # 'pallas' (VMEM-staged dense window kernel with data-adaptive position
+    # skipping; stride-1 only), 'dense' (same math through XLA), or
+    # 'gather' (exact unbounded sampling; fine on CPU, pathological on TPU)
     impl: str = "dense"
     window_radius: int = 3
     dtype: Any = jnp.float32
@@ -115,6 +117,16 @@ class DCN(nn.Module):
             jnp.float32,
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        if self.impl == "pallas" and self.stride == 1:
+            return deform_conv2d_pallas(
+                x,
+                offset.astype(jnp.float32),
+                mask.astype(x.dtype),
+                weight.astype(x.dtype),
+                bias.astype(x.dtype),
+                self.window_radius,
+                4,
+            )
         if self.impl == "dense":
             return deform_conv2d_dense(
                 x,

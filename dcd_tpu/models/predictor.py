@@ -26,7 +26,7 @@ from flax import linen as nn
 
 from ..config import Config
 from ..ops.nms import sigmoid_hm
-from .layers import BatchNorm, ConvBnAct
+from .layers import DCN, BatchNorm, ConvBnAct
 
 
 class Converter_key2channel:
@@ -92,10 +92,28 @@ class Predictor(nn.Module):
 
         act = nn.relu if head.active_func == "relu" else nn.leaky_relu
 
+        # ----- optional deeper head (reference :134-151): conv+BN+act then
+        # a DCN+BN+act stem in front of the cls/reg branches -----
+        if getattr(head, "deeper_head", False):
+
+            def head_pre(x, name):
+                x = ConvBnAct(
+                    head_conv, 3, act=act, axis_name=self.axis_name, dtype=self.dtype,
+                    name=f"{name}_conv",
+                )(x, train)
+                x = DCN(head_conv, dtype=self.dtype, name=f"{name}_dcn")(x)
+                x = BatchNorm(axis_name=self.axis_name, dtype=self.dtype, name=f"{name}_bn")(x, train)
+                return act(x)
+
+            features_cls_in = head_pre(features, "cls_head_pre")
+            features_reg_in = head_pre(features, "reg_head_pre")
+        else:
+            features_cls_in = features_reg_in = features
+
         # ----- class head -----
         feature_cls = ConvBnAct(
             head_conv, 3, act=act, axis_name=self.axis_name, dtype=self.dtype, name="class_feat"
-        )(features, train)
+        )(features_cls_in, train)
         bias_init_val = -float(np.log(1.0 / head.init_p - 1.0))
         output_cls = nn.Conv(
             classes,
@@ -114,7 +132,7 @@ class Predictor(nn.Module):
         for gi, group in enumerate(head.regression_heads):
             reg_feature = ConvBnAct(
                 head_conv, 3, act=act, axis_name=self.axis_name, dtype=self.dtype, name=f"reg_feat_{gi}"
-            )(features, train)
+            )(features_reg_in, train)
             for ki, key in enumerate(group):
                 ch = head.regression_channels[gi][ki]
                 kernel_init = nn.initializers.lecun_normal()

@@ -33,7 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .dcn import deform_conv2d_dense
 
 
-def _kernel(x_ref, off_ref, mask_ref, w_ref, b_ref, out_ref, row_ref, acc_ref, *, R, TH, Wo, C, Cout, kh, kw):
+def _kernel(x_ref, off_ref, mask_ref, w_ref, b_ref, out_ref, row_ref, acc_ref, *, R, TH, Wo, C, Cout, kh, kw, adaptive):
     # the x tile is staged fp32 regardless of model dtype: bf16's packed
     # (16,128) tiling has no dynamic sublane slicing; VPU FMAs run at fp32
     # rate either way, and the matmul casts down to the model dtype
@@ -60,6 +60,11 @@ def _kernel(x_ref, off_ref, mask_ref, w_ref, b_ref, out_ref, row_ref, acc_ref, *
         # relayouts). Accumulation goes through VMEM scratch refs so
         # Mosaic's stack allocator doesn't keep every unrolled slice live
         # at once (which OOMs scoped VMEM).
+        #
+        # (adaptive=True gates each position on its weight plane being
+        # nonzero via pl.when; measured slower in practice — the any()
+        # reductions and predication overhead exceed the skipped work —
+        # so it defaults off.)
         acc_ref[:] = jnp.zeros((TH, Wo, C), dtype)
 
         def a_body(ai, carry):
@@ -68,14 +73,34 @@ def _kernel(x_ref, off_ref, mask_ref, w_ref, b_ref, out_ref, row_ref, acc_ref, *
                 jnp.where(iy == a, 1.0 - fy, 0.0) + jnp.where(iy == a - 1, fy, 0.0)
             ).astype(dtype)
             y0 = (i - (kh // 2)) + a + R + 1
-            row_ref[:] = jnp.zeros((TH, Wo, C), dtype)
-            for bb in range(-R, R + 2):
-                wx = (
-                    jnp.where(ix == bb, 1.0 - fx, 0.0) + jnp.where(ix == bb - 1, fx, 0.0)
-                ).astype(dtype)
-                x0 = (j - (kw // 2)) + bb + R + 1
-                row_ref[:] = row_ref[:] + wx[..., None] * x_ref[0, 0, pl.ds(y0, TH), x0 : x0 + Wo, :]
-            acc_ref[:] = acc_ref[:] + wy[..., None] * row_ref[:]
+
+            def inner():
+                row_ref[:] = jnp.zeros((TH, Wo, C), dtype)
+                for bb in range(-R, R + 2):
+                    wx = (
+                        jnp.where(ix == bb, 1.0 - fx, 0.0)
+                        + jnp.where(ix == bb - 1, fx, 0.0)
+                    ).astype(dtype)
+                    x0 = (j - (kw // 2)) + bb + R + 1
+
+                    def fma():
+                        row_ref[:] = (
+                            row_ref[:]
+                            + wx[..., None] * x_ref[0, 0, pl.ds(y0, TH), x0 : x0 + Wo, :]
+                        )
+
+                    if adaptive:
+                        pl.when(jnp.any(wx > 0.0))(fma)
+                    else:
+                        fma()
+
+                acc_ref[:] = acc_ref[:] + wy[..., None] * row_ref[:]
+
+            if adaptive:
+                pl.when(jnp.any(wy > 0.0))(inner)
+            else:
+                inner()
+
             return carry
 
         jax.lax.fori_loop(0, win, a_body, 0)
@@ -91,7 +116,7 @@ def _kernel(x_ref, off_ref, mask_ref, w_ref, b_ref, out_ref, row_ref, acc_ref, *
     out_ref[0] = out.reshape(TH, Wo, Cout).astype(out_ref.dtype)
 
 
-def _forward_pallas(x, offset, mask, weight, bias, radius: int, tile_h: int):
+def _forward_pallas(x, offset, mask, weight, bias, radius: int, tile_h: int, adaptive: bool = False):
     B, H, W, C = x.shape
     kh, kw, _, Cout = weight.shape
     K = kh * kw
@@ -119,7 +144,9 @@ def _forward_pallas(x, offset, mask, weight, bias, radius: int, tile_h: int):
     w_mat = w_pad.reshape(K * Cpad, Cout)
     bias_2d = (bias if bias is not None else jnp.zeros((Cout,), x.dtype)).reshape(1, Cout)
 
-    kern = functools.partial(_kernel, R=R, TH=TH, Wo=Wo, C=Cpad, Cout=Cout, kh=kh, kw=kw)
+    kern = functools.partial(
+        _kernel, R=R, TH=TH, Wo=Wo, C=Cpad, Cout=Cout, kh=kh, kw=kw, adaptive=adaptive
+    )
     grid = (B, T)
     return pl.pallas_call(
         kern,

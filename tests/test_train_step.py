@@ -21,12 +21,12 @@ def cfg():
     base = dgde_run_config()
     return dataclasses.replace(
         base,
-        input=dataclasses.replace(base.input, height_train=96, width_train=160),
-        datasets=dataclasses.replace(base.datasets, max_objects=8),
+        input=dataclasses.replace(base.input, height_train=64, width_train=96),
+        datasets=dataclasses.replace(base.datasets, max_objects=6),
         model=dataclasses.replace(
             base.model,
-            head=dataclasses.replace(base.model.head, num_channel=32, pairs_topk=256),
-            backbone=dataclasses.replace(base.model.backbone, channels=(4, 8, 16, 16, 16, 16)),
+            head=dataclasses.replace(base.model.head, num_channel=16, pairs_topk=64),
+            backbone=dataclasses.replace(base.model.backbone, channels=(4, 8, 8, 8, 8, 8)),
         ),
     )
 
@@ -34,7 +34,7 @@ def cfg():
 def _make_batch(cfg, n=2, seed0=0):
     samples = []
     for s in range(n):
-        img, objs, calib = synthetic.make_scene(seed=seed0 + s, num_objs=4, image_size=(150, 90))
+        img, objs, calib = synthetic.make_scene(seed=seed0 + s, num_objs=3, image_size=(90, 60))
         samples.append(encode_targets(img, objs, calib, cfg, img_id=f"{s:06d}"))
     return collate(samples)
 

@@ -97,9 +97,12 @@ def main():
         generate_for_gmw(cfg, args, model, state, logger)
         return
 
+    from dcd_tpu.utils.writer import MetricWriter
+
     step_fn = jax.jit(make_train_step(cfg, model, iters_per_epoch))
     state = replicate(state, mesh)
     meters = MetricLogger()
+    writer = MetricWriter(os.path.join(cfg.output_dir, "writer")) if jax.process_index() == 0 else None
     save_every = int(cfg.solver.save_checkpoint_epoch_interval * iters_per_epoch)
 
     t_end = time.perf_counter()
@@ -113,6 +116,10 @@ def main():
         meters.update(time=batch_time, data=data_time, **{k: float(v) for k, v in logs.items()})
         if iteration % 10 == 0:
             logger.info(f"iter {iteration}/{max_iter}  {meters}")
+            if writer is not None:
+                writer.write_scalars(
+                    iteration, {k: float(v) for k, v in logs.items()}, prefix="train/"
+                )
         if save_every > 0 and (iteration + 1) % save_every == 0 and jax.process_index() == 0:
             ckptr.save(f"model_checkpoint_{(iteration + 1) // iters_per_epoch}", state)
     if jax.process_index() == 0:
