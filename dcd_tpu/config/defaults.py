@@ -54,6 +54,8 @@ class InputConfig:
     orientation_bin_size: int = 4
     # aug parameters; [[flip_prob]] or [[flip_prob, resize_prob]]
     aug_params: Tuple[Tuple[float, ...], ...] = ((0.5,),)
+    # multi-scale training buckets (w, h); reference defaults.py:64
+    multi_train_size: Tuple[Tuple[int, int], ...] = ()
 
 
 @dataclass(frozen=True)

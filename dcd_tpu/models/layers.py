@@ -84,10 +84,11 @@ class DCN(nn.Module):
     stride: int = 1
     padding: int = 1
     dilation: int = 1
-    # 'pallas' (VMEM-staged dense window kernel with data-adaptive position
-    # skipping; stride-1 only), 'dense' (same math through XLA), or
-    # 'gather' (exact unbounded sampling; fine on CPU, pathological on TPU)
-    impl: str = "dense"
+    # 'auto' picks per backend: 'gather' on CPU (exact, fast there, tiny
+    # graph) and 'dense' on TPU (gather-free windowed form — XLA gathers
+    # scalarize on TPU). 'pallas' = VMEM-staged dense window kernel
+    # (stride-1 only).
+    impl: str = "auto"
     window_radius: int = 3
     dtype: Any = jnp.float32
 
@@ -117,7 +118,10 @@ class DCN(nn.Module):
             jnp.float32,
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
-        if self.impl == "pallas" and self.stride == 1:
+        impl = self.impl
+        if impl == "auto":
+            impl = "gather" if jax.default_backend() == "cpu" else "dense"
+        if impl == "pallas" and self.stride == 1:
             return deform_conv2d_pallas(
                 x,
                 offset.astype(jnp.float32),
@@ -127,7 +131,7 @@ class DCN(nn.Module):
                 self.window_radius,
                 4,
             )
-        if self.impl == "dense":
+        if impl == "dense":
             return deform_conv2d_dense(
                 x,
                 offset.astype(x.dtype),
