@@ -81,6 +81,11 @@ class BackboneConfig:
     # reference: DGDE/config/defaults.py:114-126
     conv_body: str = "dla34"
     down_ratio: int = 4
+    # deformable-conv implementation: 'auto' (gather on CPU, dense on TPU),
+    # 'gather', 'dense', or 'pallas'; window radius bounds the offsets for
+    # the dense/pallas forms
+    dcn_impl: str = "auto"
+    dcn_radius: int = 3
     # DLA-34 structure (reference: DGDE/model/backbone/dla_dcn.py:361-368)
     levels: Tuple[int, ...] = (1, 1, 1, 2, 2, 1)
     channels: Tuple[int, ...] = (16, 32, 64, 128, 256, 512)

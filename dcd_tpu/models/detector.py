@@ -40,6 +40,8 @@ class KeypointDetector(nn.Module):
             last_level=bb.last_level,
             axis_name=self.axis_name,
             dtype=self.dtype,
+            dcn_impl=getattr(bb, "dcn_impl", "auto"),
+            dcn_radius=getattr(bb, "dcn_radius", 3),
             name="backbone",
         )(images.astype(self.dtype), train=train)
         return Predictor(self.cfg, axis_name=self.axis_name, dtype=self.dtype, name="heads")(

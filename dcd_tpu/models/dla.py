@@ -163,10 +163,15 @@ class DeformConvBlock(nn.Module):
     features: int
     axis_name: Optional[str] = None
     dtype: Any = jnp.float32
+    dcn_impl: str = "auto"
+    dcn_radius: int = 3
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        x = DCN(self.features, dtype=self.dtype, name="conv")(x)
+        x = DCN(
+            self.features, impl=self.dcn_impl, window_radius=self.dcn_radius,
+            dtype=self.dtype, name="conv",
+        )(x)
         x = BatchNorm(axis_name=self.axis_name, dtype=self.dtype, name="actf_bn")(x, train)
         return nn.relu(x)
 
@@ -180,14 +185,22 @@ class IDAUp(nn.Module):
     up_factors: Sequence[int]
     axis_name: Optional[str] = None
     dtype: Any = jnp.float32
+    dcn_impl: str = "auto"
+    dcn_radius: int = 3
 
     @nn.compact
     def __call__(self, layers: List[jnp.ndarray], startp: int, endp: int, train: bool = True):
         layers = list(layers)
         for i in range(startp + 1, endp):
             k = i - startp
-            proj = DeformConvBlock(self.out_channels, self.axis_name, self.dtype, name=f"proj_{k}")
-            node = DeformConvBlock(self.out_channels, self.axis_name, self.dtype, name=f"node_{k}")
+            proj = DeformConvBlock(
+                self.out_channels, self.axis_name, self.dtype,
+                self.dcn_impl, self.dcn_radius, name=f"proj_{k}",
+            )
+            node = DeformConvBlock(
+                self.out_channels, self.axis_name, self.dtype,
+                self.dcn_impl, self.dcn_radius, name=f"node_{k}",
+            )
             up = BilinearUp(int(self.up_factors[k]), dtype=self.dtype, name=f"up_{k}")
             layers[i] = up(proj(layers[i], train=train))
             layers[i] = node(layers[i] + layers[i - 1], train=train)
@@ -202,6 +215,8 @@ class DLAUp(nn.Module):
     scales: Sequence[int]
     axis_name: Optional[str] = None
     dtype: Any = jnp.float32
+    dcn_impl: str = "auto"
+    dcn_radius: int = 3
 
     @nn.compact
     def __call__(self, layers: List[jnp.ndarray], train: bool = True) -> List[jnp.ndarray]:
@@ -219,6 +234,8 @@ class DLAUp(nn.Module):
                 (scales[j:] // scales[j]).tolist(),
                 axis_name=self.axis_name,
                 dtype=self.dtype,
+                dcn_impl=self.dcn_impl,
+                dcn_radius=self.dcn_radius,
                 name=f"ida_{i}",
             )
             layers = ida(layers, len(layers) - i - 2, len(layers), train=train)
@@ -237,6 +254,8 @@ class DLASeg(nn.Module):
     last_level: int = 5
     axis_name: Optional[str] = None
     dtype: Any = jnp.float32
+    dcn_impl: str = "auto"
+    dcn_radius: int = 3
 
     @nn.compact
     def __call__(self, x, train: bool = True) -> jnp.ndarray:
@@ -244,15 +263,18 @@ class DLASeg(nn.Module):
         feats = DLA(self.levels, self.channels, self.axis_name, self.dtype, name="base")(x, train=train)
         ch = list(self.channels[first_level:])
         scales = [2**i for i in range(len(ch))]
-        outs = DLAUp(first_level, ch, scales, self.axis_name, self.dtype, name="dla_up")(
-            feats[first_level:], train=train
-        )
+        outs = DLAUp(
+            first_level, ch, scales, self.axis_name, self.dtype,
+            self.dcn_impl, self.dcn_radius, name="dla_up",
+        )(feats[first_level:], train=train)
         y = [outs[i] for i in range(self.last_level - first_level)]
         y = IDAUp(
             self.channels[first_level],
             [2**i for i in range(self.last_level - first_level)],
             self.axis_name,
             self.dtype,
+            self.dcn_impl,
+            self.dcn_radius,
             name="ida_up",
         )(y, 0, len(y), train=train)
         return y[-1]
