@@ -32,7 +32,7 @@ def main():
     cfg = dgde_run_config()
     # bf16 activations for inference (fp32 params; geometry stays fp32)
     cfg = dataclasses.replace(cfg, model=dataclasses.replace(cfg.model, fp16=True))
-    batch = 8
+    batch = 16
     H, W = cfg.input.height_train, cfg.input.width_train
     Ho, Wo = H // 4, W // 4
     L = (Ho + Wo) * 2

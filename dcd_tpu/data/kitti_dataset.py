@@ -94,6 +94,16 @@ class KITTIDataset:
             objs = [o for o in objs if o.type in self.classes or o.type == "DontCare"]
         if self.augmentation is not None and rng is not None:
             img, objs, calib = self.augmentation(img, objs, calib, rng)
+        # safety: images larger than the input canvas are scaled down with
+        # the calibration (the reference assumes canvas >= image and would
+        # fail on negative padding)
+        ih, iw = img.shape[:2]
+        cw, ch = self.cfg.input.width_train, self.cfg.input.height_train
+        if iw > cw or ih > ch:
+            from .augmentations import resize_scene
+
+            scale = min(cw / iw, ch / ih)
+            img, objs, calib = resize_scene(img, objs, calib, scale)
         return encode_targets(img, objs, calib, self.cfg, img_id=img_id, is_train=self.is_train)
 
 
@@ -166,17 +176,29 @@ class DataLoader:
                     pass
                 return out
 
+        def put(item) -> bool:
+            # bounded put that honors shutdown (a blocking put would leak
+            # threads past interpreter exit)
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.25)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def worker(wid: int):
             rng = np.random.RandomState(self.seed * 1000 + wid)
             while not stop.is_set():
                 indices = next_batch_indices()
                 if not indices:
-                    q.put(None)
+                    put(None)
                     return
                 samples = [self.dataset.get_sample(i, rng) for i in indices]
                 batch = collate(samples)
                 batch["img_ids"] = [s.img_id for s in samples]
-                q.put(batch)
+                if not put(batch):
+                    return
 
         threads = [
             threading.Thread(target=worker, args=(w,), daemon=True) for w in range(self.num_workers)
@@ -193,6 +215,14 @@ class DataLoader:
                 yield item
         finally:
             stop.set()
+            # drain so workers blocked on put() can observe the stop flag
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+            for t in threads:
+                t.join(timeout=2.0)
 
 
 def make_data_loader(cfg: Config, root: str, is_train: bool = True,

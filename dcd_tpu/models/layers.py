@@ -121,6 +121,18 @@ class DCN(nn.Module):
         impl = self.impl
         if impl == "auto":
             impl = "gather" if jax.default_backend() == "cpu" else "dense"
+        if impl == "plain":
+            # diagnostic lower bound: ignore offsets/mask, ordinary conv
+            return (
+                jax.lax.conv_general_dilated(
+                    x, weight.astype(x.dtype),
+                    (self.stride, self.stride),
+                    ((self.padding, self.padding), (self.padding, self.padding)),
+                    rhs_dilation=(self.dilation, self.dilation),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+                + bias.astype(x.dtype)
+            )
         if impl == "pallas" and self.stride == 1:
             return deform_conv2d_pallas(
                 x,

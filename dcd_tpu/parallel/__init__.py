@@ -1,3 +1,17 @@
-from .mesh import make_mesh, shard_batch, replicate
+from .mesh import (
+    batch_sharding,
+    initialize_distributed,
+    make_mesh,
+    replicate,
+    replicated_sharding,
+    shard_batch,
+)
 
-__all__ = ["make_mesh", "shard_batch", "replicate"]
+__all__ = [
+    "batch_sharding",
+    "initialize_distributed",
+    "make_mesh",
+    "replicate",
+    "replicated_sharding",
+    "shard_batch",
+]
