@@ -42,6 +42,10 @@ class Checkpointer:
             "opt_state": jax.tree.map(np.asarray, state.opt_state),
         }
         self.ckptr.save(path, tree, force=True)
+        # orbax commits asynchronously; block so process exit can't race
+        # the write (the async thread dies with "cannot schedule new
+        # futures after shutdown" otherwise)
+        self.ckptr.wait_until_finished()
         with open(self._tag_file(), "w") as f:
             f.write(name)
         return path
