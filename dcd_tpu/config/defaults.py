@@ -223,6 +223,10 @@ class ModelConfig:
     pretrain: bool = True
     pretrain_path: Optional[str] = None
     use_sync_bn: bool = False
+    # rematerialize backbone stages in the backward pass (jax.checkpoint):
+    # trades ~30% more FLOPs for large activation-memory savings, the TPU
+    # equivalent of gradient checkpointing
+    remat: bool = False
     reduce_loss_norm: bool = True
     norm: str = "BN"
     fp16: bool = False  # on TPU this selects bf16 activations

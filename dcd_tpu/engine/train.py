@@ -84,14 +84,25 @@ def make_train_step(cfg: Config, model: KeypointDetector, iters_per_epoch: int =
     schedule = make_lr_schedule(cfg, iters_per_epoch)
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
-        def loss_fn(params):
-            preds, mutated = model.apply(
+        def forward(params, images, edge_indices, edge_len):
+            return model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
-                batch["images"],
-                batch["edge_indices"],
-                batch["edge_len"],
+                images,
+                edge_indices,
+                edge_len,
                 train=True,
                 mutable=["batch_stats"],
+            )
+
+        if getattr(cfg.model, "remat", False):
+            # gradient checkpointing: recompute the forward during the
+            # backward pass instead of storing activations (the TPU remat
+            # equivalent of the reference's memory tricks)
+            forward = jax.checkpoint(forward)
+
+        def loss_fn(params):
+            preds, mutated = forward(
+                params, batch["images"], batch["edge_indices"], batch["edge_len"]
             )
             total, loss_dict, log_dict = compute_losses(cfg, preds, batch)
             return total, (mutated["batch_stats"], log_dict)

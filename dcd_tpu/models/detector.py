@@ -43,7 +43,9 @@ class KeypointDetector(nn.Module):
             dcn_impl=getattr(bb, "dcn_impl", "auto"),
             dcn_radius=getattr(bb, "dcn_radius", 3),
             name="backbone",
-        )(images.astype(self.dtype), train=train)
+            # train passed positionally: remat's static_argnums only covers
+            # positional args
+        )(images.astype(self.dtype), train)
         return Predictor(self.cfg, axis_name=self.axis_name, dtype=self.dtype, name="heads")(
             features, edge_indices, edge_len, train=train
         )
