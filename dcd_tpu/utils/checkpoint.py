@@ -38,7 +38,7 @@ class Checkpointer:
         tree = {
             "step": np.asarray(state.step),
             "params": jax.tree.map(np.asarray, state.params),
-            "batch_stats": jax.tree.map(np.asarray, state.batch_stats),
+            "batch_stats": jax.tree.map(np.asarray, getattr(state, "batch_stats", {})),
             "opt_state": jax.tree.map(np.asarray, state.opt_state),
         }
         self.ckptr.save(path, tree, force=True)
@@ -64,19 +64,22 @@ class Checkpointer:
         path = path or self.last_checkpoint()
         if path is None:
             return state
+        has_bs = hasattr(state, "batch_stats")
         template = {
             "step": np.asarray(state.step),
             "params": jax.tree.map(np.asarray, state.params),
-            "batch_stats": jax.tree.map(np.asarray, state.batch_stats),
+            "batch_stats": jax.tree.map(np.asarray, getattr(state, "batch_stats", {})),
             "opt_state": jax.tree.map(np.asarray, state.opt_state),
         }
         restored = self.ckptr.restore(path, template)
-        return state.replace(
+        kwargs = dict(
             step=jnp.asarray(restored["step"]),
             params=jax.tree.map(jnp.asarray, restored["params"]),
-            batch_stats=jax.tree.map(jnp.asarray, restored["batch_stats"]),
             opt_state=jax.tree.map(jnp.asarray, restored["opt_state"]),
         )
+        if has_bs:
+            kwargs["batch_stats"] = jax.tree.map(jnp.asarray, restored["batch_stats"])
+        return state.replace(**kwargs)
 
 
 # ---------------------------------------------------------------------------

@@ -38,6 +38,8 @@ def parse_args():
     p.add_argument("--reg_weight", type=float, default=0.1)
     p.add_argument("--reg_loss_start_epoch", type=int, default=50)
     p.add_argument("--evaluate", action="store_true")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--save_every", type=int, default=5, help="epochs between checkpoints (reference GMW/main.py:318)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--num_kpts", type=int, default=73)
     return p.parse_args()
@@ -70,8 +72,16 @@ def main():
         reg_weight=args.reg_weight,
         reg_loss_start_epoch=args.reg_loss_start_epoch,
     )
+    from dcd_tpu.utils.checkpoint import Checkpointer
+
     logger = setup_logger("dcd_tpu.gmw", args.log_dir)
     model, state = create_gmw_state(cfg, jax.random.PRNGKey(args.seed))
+    ckptr = Checkpointer(os.path.join(args.log_dir, "ckpt"))
+    start_epoch = 0
+    if args.resume and ckptr.has_checkpoint():
+        state = ckptr.load(state)
+        start_epoch = int(state.step)  # step counts epochs at save time
+        logger.info(f"resumed at epoch {start_epoch}")
     step = jax.jit(make_gmw_train_step(cfg, model))
     predict = jax.jit(make_gmw_predict(cfg, model))
 
@@ -82,7 +92,7 @@ def main():
     meters = MetricLogger()
 
     if not args.evaluate:
-        for epoch in range(1, args.epochs + 1):
+        for epoch in range(start_epoch + 1, args.epochs + 1):
             cls_w, reg_w = loss_weights_for_epoch(cfg, epoch)
             order = rng.permutation(n_train)
             for start in range(0, n_train - cfg.batch_size + 1, cfg.batch_size):
@@ -96,6 +106,9 @@ def main():
                 state, logs = step(state, batch, jnp.float32(cls_w), jnp.float32(reg_w))
                 meters.update(**{k: float(v) for k, v in logs.items()})
             logger.info(f"epoch {epoch}: {meters}")
+            if args.save_every > 0 and epoch % args.save_every == 0:
+                ckptr.save(f"checkpoint_epoch_{epoch}", state.replace(step=jnp.asarray(epoch)))
+        ckptr.save("checkpoint_final", state.replace(step=jnp.asarray(args.epochs)))
 
     # validation: refine depths and rewrite KITTI txts (GMW/main.py:486-564)
     if args.val_data and os.path.exists(args.val_data):
