@@ -1,1 +1,10 @@
-from . import kitti_geometry
+from . import (
+    augmentations,
+    gen_data,
+    heatmap,
+    kitti_dataset,
+    kitti_geometry,
+    multiscale,
+    synthetic,
+    target_encoder,
+)

@@ -1,1 +1,1 @@
-from . import loss
+from . import gen, gmw_train, infer, loss, solver, train

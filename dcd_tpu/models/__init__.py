@@ -1,1 +1,1 @@
-from . import dla, detector, predictor
+from . import blind_pnp, detector, dla, gmw, layers, predictor

@@ -171,8 +171,7 @@ def bilinear_kernel_1d(f: int) -> np.ndarray:
     """1D factor of the bilinear upsampling kernel of size 2f
     (reference fill_up_weights, dla_dcn.py:386-395)."""
     size = f * 2
-    c = (2 * np.ceil(size / 2) - 1 - np.ceil(size / 2) % 2) / (2.0 * np.ceil(size / 2))
-    # reference: f = ceil(k/2); c = (2f - 1 - f%2)/(2f)
+    # reference: fc = ceil(k/2); c = (2fc - 1 - fc%2)/(2fc)
     fc = np.ceil(size / 2)
     c = (2 * fc - 1 - fc % 2) / (2.0 * fc)
     i = np.arange(size)

@@ -1,1 +1,1 @@
-from . import codec, losses, nms
+from . import codec, dcn, dcn_pallas, geometry3d, losses, nms, psroi, sinkhorn

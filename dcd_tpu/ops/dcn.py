@@ -160,6 +160,7 @@ def deform_conv2d_dense(
     pad_hi = R + 1 + max_tap - padding  # most positive
     xp = jnp.pad(x, ((0, 0), (pad_lo, pad_hi), (pad_lo, pad_hi), (0, 0)))
 
+
     def window_slice(total_dy: int, total_dx: int) -> jnp.ndarray:
         """x sampled at (out*stride - pad + total_d) for every output pixel."""
         y0 = pad_lo - padding + total_dy
@@ -171,7 +172,6 @@ def deform_conv2d_dense(
             (1, stride, stride, 1),
         )
 
-    out = jnp.zeros((B, Ho, Wo, Cout), dtype=jnp.float32)
     sampled_all = []
     for k in range(K):
         i, j = divmod(k, kw)

@@ -140,18 +140,10 @@ def import_torch_dla34(state_dict: Dict[str, np.ndarray], variables: Dict, level
     """Load a torch DLA-34 state dict (ImageNet pretrain,
     dla_dcn.py:344-358) into the flax DLASeg 'base' subtree. Returns new
     (params, batch_stats) dicts."""
-    params = jax.tree.map(np.asarray, variables["params"])
-    stats = jax.tree.map(np.asarray, variables["batch_stats"])
-    params = jax.tree.map(lambda x: x, params)  # copy
-    # unfreeze to plain dicts
     import flax
 
-    params = flax.core.unfreeze(params) if hasattr(flax.core, "unfreeze") else dict(params)
-    stats = flax.core.unfreeze(stats) if hasattr(flax.core, "unfreeze") else dict(stats)
-
-    def deep(d):
-        return {k: deep(v) if isinstance(v, dict) else v for k, v in d.items()}
-
+    params = flax.core.unfreeze(variables["params"]) if hasattr(flax.core, "unfreeze") else dict(variables["params"])
+    stats = flax.core.unfreeze(variables["batch_stats"]) if hasattr(flax.core, "unfreeze") else dict(variables["batch_stats"])
     params = jax.tree.map(np.array, params)
     stats = jax.tree.map(np.array, stats)
 
