@@ -152,3 +152,37 @@ def multibin_orientation_loss(
     reg = jnp.abs(offs[..., 0] - jnp.sin(gt_offset)) + jnp.abs(offs[..., 1] - jnp.cos(gt_offset))
     reg_losses = (reg * valid).sum()
     return cls_losses / num_bin + reg_losses
+
+
+def wing_loss(prediction: jnp.ndarray, target: jnp.ndarray, w: float = 10.0, eps: float = 2.0) -> jnp.ndarray:
+    """Wing loss (reference model/utils.py:51-66): logarithmic near zero,
+    L1 minus a constant beyond w."""
+    import numpy as _np
+
+    C = w - w * float(_np.log(1.0 + w / eps))
+    differ = jnp.abs(prediction - target)
+    return jnp.where(differ < w, w * jnp.log1p(differ / eps), differ - C)
+
+
+def laplace_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """Relative-error loss |1 - pred/target| (reference model/utils.py:18-25)."""
+    return jnp.abs(1.0 - pred / target)
+
+
+def uncertainty_reg_loss(reg_loss: jnp.ndarray, uncertainty: jnp.ndarray) -> jnp.ndarray:
+    """loss * exp(-u) + 0.5 * u (reference model/utils.py:7-15)."""
+    return reg_loss * jnp.exp(-uncertainty) + 0.5 * uncertainty
+
+
+def multitask_uncertainty_weighting(loss_dict, log_vars, uncertainty_keys):
+    """Learned log-variance task weighting (reference
+    layers/uncert_wrapper.py:17-56): for each flagged loss term,
+    ``loss * exp(-s_i) + s_i``. log_vars is a (num_uncertain,) parameter
+    array managed by the caller; returns (new loss_dict, weight dict)."""
+    out = dict(loss_dict)
+    weights = {}
+    for i, key in enumerate(uncertainty_keys):
+        if key in out:
+            out[key] = out[key] * jnp.exp(-log_vars[i]) + log_vars[i]
+        weights[key.replace("_loss", "") + "_w"] = jnp.exp(-log_vars[i])
+    return out, weights
