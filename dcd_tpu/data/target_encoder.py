@@ -121,8 +121,17 @@ def encode_targets(
 
     img: HWC uint8 (original size). Follows kitti.py:306-610.
     """
-    img_h, img_w = img.shape[:2]
     input_w, input_h = cfg.input.width_train, cfg.input.height_train
+    # images larger than the input canvas are scaled down with the
+    # calibration (the reference assumes canvas >= image and would fail on
+    # negative padding)
+    if img.shape[1] > input_w or img.shape[0] > input_h:
+        from .augmentations import resize_scene
+
+        scale = min(input_w / img.shape[1], input_h / img.shape[0])
+        img, objs, calib = resize_scene(img, objs, calib, scale)
+
+    img_h, img_w = img.shape[:2]
     down = cfg.model.backbone.down_ratio
     out_w, out_h = input_w // down, input_h // down
     max_objs = cfg.datasets.max_objects
