@@ -125,14 +125,31 @@ def _forward_pallas(x, offset, mask, weight, bias, radius: int, tile_h: int, ada
     R = radius
     halo = 2 * R + 3
 
+    # lane alignment: pad channels to a 128 multiple (idle lanes otherwise)
+    Cpad = ((C + 127) // 128) * 128
+
+    def vmem_estimate(th: int) -> int:
+        wp = W + halo
+        x_tiles = 2 * (th + halo) * wp * Cpad * 4  # f32, double-buffered
+        off = 2 * th * W * 2 * K * 4
+        msk = 2 * th * W * K * 2
+        out = 2 * th * W * Cout * 2
+        scratch = 2 * th * W * Cpad * 4
+        acc = th * W * Cout * 4
+        return x_tiles + off + msk + out + scratch + acc
+
     TH = tile_h
     while Ho % TH != 0:
         TH //= 2
+    # stay under the ~16MB scoped-VMEM budget with headroom for Mosaic's
+    # stack (the stride-4 decoder level lands within 200KB of the limit
+    # at TH=4 otherwise)
+    while TH > 1 and vmem_estimate(TH) > 11 * 1024 * 1024:
+        TH //= 2
+        while Ho % TH != 0 and TH > 1:
+            TH //= 2
     assert TH >= 1
     T = Ho // TH
-
-    # lane alignment: pad channels to a 128 multiple (idle lanes otherwise)
-    Cpad = ((C + 127) // 128) * 128
     xp = jnp.pad(
         x.astype(jnp.float32), ((0, 0), (R + 1, R + 2), (R + 1, R + 2), (0, Cpad - C))
     )
