@@ -144,7 +144,9 @@ def _forward_pallas(x, offset, mask, weight, bias, radius: int, tile_h: int, ada
     # stay under the ~16MB scoped-VMEM budget with headroom for Mosaic's
     # stack (the stride-4 decoder level lands within 200KB of the limit
     # at TH=4 otherwise)
-    while TH > 1 and vmem_estimate(TH) > 11 * 1024 * 1024:
+    # Mosaic's stack temporaries roughly double the modeled usage,
+    # so the budget is conservative
+    while TH > 1 and vmem_estimate(TH) > 6 * 1024 * 1024:
         TH //= 2
         while Ho % TH != 0 and TH > 1:
             TH //= 2
