@@ -47,7 +47,25 @@ class GMWState(struct.PyTreeNode):
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
 
 
-def create_gmw_state(cfg: GMWConfig, rng) -> Tuple[G.GMW, GMWState]:
+def epoch_cosine_lr(cfg: GMWConfig, steps_per_epoch: int):
+    """Cosine LR annealed per *epoch*, evaluated at optimizer-step
+    granularity: lr(step) = 0.5*lr*(1+cos(pi*epoch/epochs)) with
+    epoch = step // steps_per_epoch. Matches the reference's
+    CosineAnnealingLR(T_max=epochs) stepped once per epoch
+    (GMW/main.py:255-272) — the schedule must NOT advance per optimizer
+    update or LR collapses to ~0 after `epochs` mini-batches."""
+    steps_per_epoch = max(int(steps_per_epoch), 1)
+
+    def schedule(count):
+        epoch = jnp.minimum(count // steps_per_epoch, cfg.epochs)
+        return 0.5 * cfg.lr * (1.0 + jnp.cos(jnp.pi * epoch / cfg.epochs))
+
+    return schedule
+
+
+def create_gmw_state(cfg: GMWConfig, rng, steps_per_epoch: int = 1) -> Tuple[G.GMW, GMWState]:
+    """steps_per_epoch drives the per-epoch cosine LR schedule; pass the
+    real optimizer-updates-per-epoch of your loader (ceil is fine)."""
     model = G.GMW(
         num_kpts=cfg.num_kpts,
         features=cfg.features,
@@ -61,9 +79,7 @@ def create_gmw_state(cfg: GMWConfig, rng) -> Tuple[G.GMW, GMWState]:
     tx = optax.chain(
         optax.scale_by_adam(b1=0.9, b2=0.999),
         optax.add_decayed_weights(cfg.weight_decay),
-        optax.scale_by_learning_rate(
-            optax.cosine_decay_schedule(cfg.lr, cfg.epochs, alpha=0.0)
-        ),
+        optax.scale_by_learning_rate(epoch_cosine_lr(cfg, steps_per_epoch)),
     )
     return model, GMWState(step=jnp.zeros((), jnp.int32), params=params, opt_state=tx.init(params), tx=tx)
 

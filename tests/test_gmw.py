@@ -132,3 +132,81 @@ def test_gmw_overfit_depth():
         losses.append(float(loss))
         assert np.isfinite(losses[-1])
     assert losses[-1] < losses[0], losses
+
+
+def test_epoch_cosine_lr_schedule():
+    """LR must anneal per *epoch* over cfg.epochs, not per optimizer step
+    (reference CosineAnnealingLR(T_max=epochs) stepped once per epoch,
+    GMW/main.py:255-272). Regression: round-1 decayed over `epochs`
+    optimizer updates, collapsing LR to ~0 after 100 mini-batches."""
+    from dcd_tpu.engine.gmw_train import GMWConfig, epoch_cosine_lr
+
+    cfg = GMWConfig(lr=1e-4, epochs=100)
+    spe = 250  # steps per epoch
+    sched = epoch_cosine_lr(cfg, steps_per_epoch=spe)
+    # start of training: full LR
+    np.testing.assert_allclose(float(sched(0)), cfg.lr, rtol=1e-6)
+    # after 100 optimizer updates (still epoch 0): LR unchanged — this is
+    # exactly where the round-1 schedule had already annealed to ~0
+    np.testing.assert_allclose(float(sched(100)), cfg.lr, rtol=1e-6)
+    # mid-training (epoch 50 of 100): LR = lr*cos^2(pi/4) = lr/2
+    mid = float(sched(50 * spe))
+    np.testing.assert_allclose(mid, cfg.lr * 0.5, rtol=1e-5)
+    # end of training: ~0
+    assert float(sched(100 * spe)) < 1e-9
+    # piecewise-constant within an epoch
+    np.testing.assert_allclose(float(sched(50 * spe + spe - 1)), mid, rtol=1e-6)
+
+
+def test_gmw_data_parallel_8dev():
+    """GMW train step on an 8-device data-parallel mesh matches the
+    single-device step (reference stage 2 is 4-GPU DDP + SyncBN,
+    GMW/main.py:249-253)."""
+    from dcd_tpu.engine.gmw_train import GMWConfig, create_gmw_state, make_gmw_train_step
+    from dcd_tpu.parallel import make_mesh, replicate, shard_batch
+
+    assert jax.device_count() >= 8
+    cfg = GMWConfig(num_kpts=N_KPTS, features=16, depth=2, topk=20, batch_size=8)
+    model, state = create_gmw_state(cfg, jax.random.PRNGKey(0), steps_per_epoch=10)
+    B = 8
+    batch = {
+        "kpts_2d": jnp.asarray(RNG.randn(B, N_KPTS, 2).astype(np.float32) * 0.1),
+        "kpts_3d": jnp.asarray(RNG.randn(B, N_KPTS, 3).astype(np.float32)),
+        "pred_rot": jnp.asarray(RNG.randn(B).astype(np.float32)),
+        "gt_depth": jnp.asarray(10.0 + RNG.rand(B).astype(np.float32) * 20),
+    }
+    step = jax.jit(make_gmw_train_step(cfg, model))
+    one = jnp.float32(1.0)
+
+    mesh = make_mesh(jax.devices()[:8])
+    st_sh, logs_sh = step(replicate(state, mesh), shard_batch(batch, mesh), one, one)
+    st_1, logs_1 = step(state, batch, one, one)
+    for k in logs_1:
+        np.testing.assert_allclose(float(logs_sh[k]), float(logs_1[k]), rtol=5e-4)
+
+    # gradients must agree across layouts (adam's first-step update is
+    # ~sign(grad), which amplifies reassociation noise — compare grads, not
+    # post-update params)
+    E_ = N_KPTS * (N_KPTS - 1) // 2
+    eye = jnp.broadcast_to(jnp.eye(E_), (B, E_, E_))
+    pre_depths, good_idx = gmw.compute_z(
+        batch["kpts_2d"], batch["kpts_3d"], batch["pred_rot"], cfg.topk
+    )
+
+    def loss_fn(params, b):
+        w, P = model.apply(params, b["kpts_2d"], b["kpts_3d"])
+        cls = gmw.correspondence_loss(P, eye)
+        reg, _ = gmw.compute_reg_loss(pre_depths, w, b["gt_depth"], good_idx)
+        return cls + reg
+
+    gfn = jax.jit(jax.grad(loss_fn))
+    g_1 = gfn(state.params, batch)
+    g_sh = gfn(replicate(state.params, mesh), shard_batch(batch, mesh))
+    # normalize by the global grad scale: bias grads under gcn_norm are
+    # mathematically ~0 (mean subtraction kills constant shifts) and carry
+    # only cancellation noise, so per-leaf relative comparison is meaningless
+    scale = max(np.abs(np.asarray(x)).max() for x in jax.tree.leaves(g_1))
+    for a, b in zip(jax.tree.leaves(g_sh), jax.tree.leaves(g_1)):
+        np.testing.assert_allclose(
+            np.asarray(a) / scale, np.asarray(b) / scale, atol=5e-5
+        )
