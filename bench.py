@@ -12,7 +12,16 @@ import numpy as np
 
 
 def main():
+    import argparse
     import os
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--dcn_impl", default=None,
+        help="override backbone dcn impl: dense | pallas | gather | plain",
+    )
+    ap.add_argument("--batch", type=int, default=16)
+    args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
@@ -32,7 +41,15 @@ def main():
     cfg = dgde_run_config()
     # bf16 activations for inference (fp32 params; geometry stays fp32)
     cfg = dataclasses.replace(cfg, model=dataclasses.replace(cfg.model, fp16=True))
-    batch = 16
+    if args.dcn_impl:
+        cfg = dataclasses.replace(
+            cfg,
+            model=dataclasses.replace(
+                cfg.model,
+                backbone=dataclasses.replace(cfg.model.backbone, dcn_impl=args.dcn_impl),
+            ),
+        )
+    batch = args.batch
     H, W = cfg.input.height_train, cfg.input.width_train
     Ho, Wo = H // 4, W // 4
     L = (Ho + Wo) * 2

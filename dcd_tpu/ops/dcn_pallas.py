@@ -11,9 +11,24 @@ materialized by XLA as a (B, T, TH+halo, Wp, C) tensor (one extra
 HBM-bandwidth copy, ~1.7x of x) so the standard Pallas pipeline — with its
 automatic double-buffering — streams them; no manual DMA/semaphores needed.
 
-Forward only; the op carries a custom VJP whose backward differentiates
-the XLA dense formulation (identical math, so gradients agree with the
-kernel's output).
+The op carries a custom VJP backed by two more Pallas kernels (the
+TPU counterpart of the reference's col2im / col2im_coord CUDA backward,
+dcn_v2_cuda.cu:206-341):
+
+* ``_bwd_pom_kernel`` — grad_offset / grad_mask / grad_weight. Recomputes
+  the per-tap sampled windows from the same halo'd x staging as forward
+  (recompute-gather: cheaper than saving K x-sized col tensors), forms
+  g @ W_k^T on the MXU, and reduces over lanes for the offset/mask grads.
+  grad_weight accumulates across the sequential TPU grid into one block.
+* ``_bwd_x_kernel`` — grad_x as a *transposed gather*: for input pixel q,
+  every contribution comes from output positions p = q - delta with both
+  the bilinear coefficient plane and the modulated cotangent evaluated at
+  p — so a halo'd tile of (g, offset, mask) suffices and there are no
+  scatters (SURVEY §7.3's recompute-gather plan).
+
+Set ``dcd_tpu.ops.dcn_pallas.BACKWARD = "xla"`` to fall back to
+differentiating the XLA dense formulation instead (identical math; used
+as the oracle in tests).
 
 Replaces the reference's CUDA im2col+GEMM pipeline
 (dcn_v2_cuda.cu:43-165, dcn_v2_im2col_cuda.cu:25-55) as the
@@ -31,6 +46,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .dcn import deform_conv2d_dense
+
+
+def _interpret() -> bool:
+    # off-TPU the kernels run in Pallas interpret mode (slow but exact) so
+    # the CPU test suite can cross-check them against the XLA oracle
+    return jax.default_backend() != "tpu"
+
+
+# backward implementation: "pallas" (hand kernels below) or "xla"
+# (autodiff of the dense formulation; the oracle the kernels are tested
+# against)
+BACKWARD = "pallas"
 
 
 def _kernel(x_ref, off_ref, mask_ref, w_ref, b_ref, out_ref, row_ref, acc_ref, *, R, TH, Wo, C, Cout, kh, kw, adaptive):
@@ -61,11 +88,27 @@ def _kernel(x_ref, off_ref, mask_ref, w_ref, b_ref, out_ref, row_ref, acc_ref, *
         # Mosaic's stack allocator doesn't keep every unrolled slice live
         # at once (which OOMs scoped VMEM).
         #
-        # (adaptive=True gates each position on its weight plane being
-        # nonzero via pl.when; measured slower in practice — the any()
-        # reductions and predication overhead exceed the skipped work —
-        # so it defaults off.)
+        # adaptive=True skips window positions whose bilinear weight plane
+        # is all-zero in this tile, using *scalar* per-tile min/max bounds
+        # of the integer offset parts: the vertical fori_loop gets
+        # data-dependent trip bounds and each unrolled horizontal slice is
+        # gated by a scalar pl.when. Trained offsets concentrate near zero
+        # (the offset conv is zero-init), so typical tiles touch a handful
+        # of the (2R+2)^2 positions instead of all of them. Correctness
+        # never depends on the bounds — positions outside them have
+        # identically zero coefficient planes. (Round-1's per-position
+        # vector any() gating lost to its own reduction overhead; scalar
+        # bounds amortize to 4 reductions per tap.)
         acc_ref[:] = jnp.zeros((TH, Wo, C), dtype)
+
+        if adaptive:
+            a_lo = jnp.min(iy).astype(jnp.int32)
+            a_hi = jnp.max(iy).astype(jnp.int32) + 1
+            b_lo = jnp.min(ix).astype(jnp.int32)
+            b_hi = jnp.max(ix).astype(jnp.int32) + 1
+        else:
+            a_lo = b_lo = jnp.int32(-R)
+            a_hi = b_hi = jnp.int32(R + 1)
 
         def a_body(ai, carry):
             a = ai - R  # window shift in [-R, R+1]
@@ -74,7 +117,7 @@ def _kernel(x_ref, off_ref, mask_ref, w_ref, b_ref, out_ref, row_ref, acc_ref, *
             ).astype(dtype)
             y0 = (i - (kh // 2)) + a + R + 1
 
-            def inner():
+            def v_pass():
                 row_ref[:] = jnp.zeros((TH, Wo, C), dtype)
                 for bb in range(-R, R + 2):
                     wx = (
@@ -90,17 +133,19 @@ def _kernel(x_ref, off_ref, mask_ref, w_ref, b_ref, out_ref, row_ref, acc_ref, *
                         )
 
                     if adaptive:
-                        pl.when(jnp.any(wx > 0.0))(fma)
+                        pl.when((bb >= b_lo) & (bb <= b_hi))(fma)
                     else:
                         fma()
 
                 acc_ref[:] = acc_ref[:] + wy[..., None] * row_ref[:]
 
+            # the loop keeps *static* trip bounds (dynamic trip counts stop
+            # Mosaic unrolling the body — measured slower than no gating at
+            # all); skipping happens via the scalar predicate instead
             if adaptive:
-                pl.when(jnp.any(wy > 0.0))(inner)
+                pl.when((a >= a_lo) & (a <= a_hi))(v_pass)
             else:
-                inner()
-
+                v_pass()
             return carry
 
         jax.lax.fori_loop(0, win, a_body, 0)
@@ -187,32 +232,381 @@ def _forward_pallas(x, offset, mask, weight, bias, radius: int, tile_h: int, ada
             pltpu.VMEM((TH, Wo, Cpad), jnp.float32),  # row accumulator
             pltpu.VMEM((TH, Wo, Cpad), jnp.float32),  # window accumulator
         ],
+        interpret=_interpret(),
     )(tiles, offset, mask, w_mat, bias_2d)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def deform_conv2d_pallas(x, offset, mask, weight, bias, radius: int = 3, tile_h: int = 8):
+# ---------------------------------------------------------------------------
+# backward kernels
+# ---------------------------------------------------------------------------
+
+
+def _pick_tile_h(Ho: int, tile_h: int, vmem_estimate, budget: int = 6 * 1024 * 1024) -> int:
+    TH = tile_h
+    while Ho % TH != 0:
+        TH //= 2
+    while TH > 1 and vmem_estimate(TH) > budget:
+        TH //= 2
+        while Ho % TH != 0 and TH > 1:
+            TH //= 2
+    assert TH >= 1
+    return TH
+
+
+def _stage_row_tiles(arr, T: int, TH: int, halo: int):
+    """Overlapping (TH + halo)-row windows: (B, T, TH+halo, W, C)."""
+    return jnp.stack([arr[:, t * TH : t * TH + TH + halo] for t in range(T)], axis=1)
+
+
+def _bwd_pom_kernel(
+    x_ref, off_ref, mask_ref, g_ref, w_ref,
+    go_ref, gm_ref, gw_ref,
+    row_ref, rgx_ref, s_ref, dsy_ref, dsx_ref, gwk_ref,
+    *, R, TH, Wo, C, Cout, kh, kw,
+):
+    """grad_offset / grad_mask / grad_weight for one (batch, row-tile).
+
+    Recomputes the per-tap sampled window s_k and its offset derivatives
+    from the same halo'd x staging as the forward kernel (recompute-gather
+    — the reference's col2im_coord kernel, dcn_v2_im2col_cuda.cu's
+    gradient-weight/coord-weight kernels, does the same walk on CUDA).
+    grad_weight accumulates across the sequential grid into one block.
+    """
+    dtype = jnp.float32
+    off = off_ref[0]  # (TH, Wo, 2K)
+    msk = mask_ref[0]  # (TH, Wo, K)
+    g2d = g_ref[0].astype(dtype).reshape(TH * Wo, Cout)
+    K = kh * kw
+    win = 2 * R + 2
+
+    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _init():
+        gw_ref[:] = jnp.zeros_like(gw_ref)
+
+    # per-tap results are stored to single output lanes immediately —
+    # keeping all 3K planes live to stack at the end blows Mosaic's
+    # scoped-VMEM stack at the stride-4 level (measured 23M > 16M)
+    for k in range(K):
+        i, j = divmod(k, kw)
+        dyr = off[..., 2 * k]
+        dxr = off[..., 2 * k + 1]
+        dy = jnp.clip(dyr, -R, R)
+        dx = jnp.clip(dxr, -R, R)
+        iy = jnp.floor(dy)
+        ix = jnp.floor(dx)
+        fy = dy - iy
+        fx = dx - ix
+
+        # cotangent through the tap weight: gW_k = g @ W_k^T — staged in
+        # scratch so the unrolled tap loop doesn't keep K of these live
+        # on Mosaic's stack
+        gwk_ref[:] = jax.lax.dot_general(
+            g2d, w_ref[pl.ds(k * C, C), :],
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(TH, Wo, C)
+
+        s_ref[:] = jnp.zeros((TH, Wo, C), dtype)
+        dsy_ref[:] = jnp.zeros((TH, Wo, C), dtype)
+        dsx_ref[:] = jnp.zeros((TH, Wo, C), dtype)
+
+        def a_body(ai, carry):
+            a = ai - R
+            wy = (
+                jnp.where(iy == a, 1.0 - fy, 0.0) + jnp.where(iy == a - 1, fy, 0.0)
+            ).astype(dtype)
+            gy = (
+                jnp.where(iy == a, -1.0, 0.0) + jnp.where(iy == a - 1, 1.0, 0.0)
+            ).astype(dtype)
+            y0 = (i - (kh // 2)) + a + R + 1
+            row_ref[:] = jnp.zeros((TH, Wo, C), dtype)
+            rgx_ref[:] = jnp.zeros((TH, Wo, C), dtype)
+            for bb in range(-R, R + 2):
+                wx = (
+                    jnp.where(ix == bb, 1.0 - fx, 0.0)
+                    + jnp.where(ix == bb - 1, fx, 0.0)
+                ).astype(dtype)
+                gx = (
+                    jnp.where(ix == bb, -1.0, 0.0)
+                    + jnp.where(ix == bb - 1, 1.0, 0.0)
+                ).astype(dtype)
+                x0 = (j - (kw // 2)) + bb + R + 1
+                xs = x_ref[0, 0, pl.ds(y0, TH), x0 : x0 + Wo, :]
+                row_ref[:] = row_ref[:] + wx[..., None] * xs
+                rgx_ref[:] = rgx_ref[:] + gx[..., None] * xs
+            s_ref[:] = s_ref[:] + wy[..., None] * row_ref[:]
+            dsy_ref[:] = dsy_ref[:] + gy[..., None] * row_ref[:]
+            dsx_ref[:] = dsx_ref[:] + wy[..., None] * rgx_ref[:]
+            return carry
+
+        jax.lax.fori_loop(0, win, a_body, 0)
+
+        mk = msk[..., k].astype(dtype)
+        gm_ref[0, :, :, k] = jnp.sum(s_ref[:] * gwk_ref[:], axis=-1).astype(gm_ref.dtype)
+        # clip passes gradient on the closed interval (matches lax.min/max
+        # VJP tie-breaking: both pick the first operand on equality)
+        cy = ((dyr >= -R) & (dyr <= R)).astype(dtype)
+        cx = ((dxr >= -R) & (dxr <= R)).astype(dtype)
+        go_ref[0, :, :, 2 * k] = (
+            cy * mk * jnp.sum(dsy_ref[:] * gwk_ref[:], axis=-1)
+        ).astype(go_ref.dtype)
+        go_ref[0, :, :, 2 * k + 1] = (
+            cx * mk * jnp.sum(dsx_ref[:] * gwk_ref[:], axis=-1)
+        ).astype(go_ref.dtype)
+
+        colk = (s_ref[:] * mk[..., None]).reshape(TH * Wo, C)
+        gwk = jax.lax.dot_general(
+            colk, g2d, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (C, Cout)
+        gw_ref[pl.ds(k * C, C), :] = gw_ref[pl.ds(k * C, C), :] + gwk
+
+
+def _bwd_pom(x, offset, mask, g, weight, radius: int, tile_h: int):
+    B, H, W, C = x.shape
+    kh, kw, _, Cout = weight.shape
+    K = kh * kw
+    Ho, Wo = offset.shape[1], offset.shape[2]
+    R = radius
+    halo = 2 * R + 3
+    Cpad = ((C + 127) // 128) * 128
+    Wp = W + halo
+
+    def vmem_estimate(th: int) -> int:
+        x_tiles = 2 * (th + halo) * Wp * Cpad * 4
+        off = 2 * th * W * 2 * K * 4
+        msk = 2 * th * W * K * 4
+        gt = 2 * th * W * Cout * 4
+        outs = 2 * th * W * (3 * K) * 4 + K * Cpad * Cout * 4
+        scratch = 5 * th * W * Cpad * 4
+        return x_tiles + off + msk + gt + outs + scratch
+
+    # tighter budget than forward: the backward carries ~3x the live
+    # values (gWk/qk matmul results, three accumulators), which land on
+    # Mosaic's stack on top of the modeled refs
+    TH = _pick_tile_h(Ho, tile_h, vmem_estimate, budget=3 * 1024 * 1024)
+    T = Ho // TH
+    xp = jnp.pad(
+        x.astype(jnp.float32), ((0, 0), (R + 1, R + 2), (R + 1, R + 2), (0, Cpad - C))
+    )
+    tiles = _stage_row_tiles(xp, T, TH, halo)
+    w_pad = jnp.pad(weight, ((0, 0), (0, 0), (0, Cpad - C), (0, 0)))
+    w_mat = w_pad.reshape(K * Cpad, Cout)
+
+    kern = functools.partial(
+        _bwd_pom_kernel, R=R, TH=TH, Wo=Wo, C=Cpad, Cout=Cout, kh=kh, kw=kw
+    )
+    go, gm, gw = pl.pallas_call(
+        kern,
+        grid=(B, T),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, TH + halo, Wp, Cpad), lambda b, t: (b, t, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, TH, Wo, 2 * K), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TH, Wo, K), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TH, Wo, Cout), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # weights
+        ],
+        out_specs=[
+            pl.BlockSpec((1, TH, Wo, 2 * K), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TH, Wo, K), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM),
+            # constant index map: the block persists across the sequential
+            # grid and accumulates grad_weight
+            pl.BlockSpec((K * Cpad, Cout), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Ho, Wo, 2 * K), jnp.float32),
+            jax.ShapeDtypeStruct((B, Ho, Wo, K), jnp.float32),
+            jax.ShapeDtypeStruct((K * Cpad, Cout), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((TH, Wo, Cpad), jnp.float32),  # row (wx pass)
+            pltpu.VMEM((TH, Wo, Cpad), jnp.float32),  # row (gx pass)
+            pltpu.VMEM((TH, Wo, Cpad), jnp.float32),  # s_k
+            pltpu.VMEM((TH, Wo, Cpad), jnp.float32),  # ds/ddy
+            pltpu.VMEM((TH, Wo, Cpad), jnp.float32),  # ds/ddx
+            pltpu.VMEM((TH, Wo, Cpad), jnp.float32),  # gW_k
+        ],
+        interpret=_interpret(),
+    )(tiles, offset, mask, g, w_mat)
+    gw = gw.reshape(K, Cpad, Cout)[:, :C, :].reshape(kh, kw, C, Cout)
+    return go, gm, gw
+
+
+def _bwd_x_kernel(
+    g_ref, off_ref, mask_ref, w_ref, gx_ref, tk_ref, acc_ref,
+    *, R, TH, W, Wp, C, Cout, kh, kw,
+):
+    """grad_x for one (batch, row-tile), as a transposed gather.
+
+    gx[q] = sum_k sum_{a,b} coeff_k,ab(p) * mask_k(p) * (g(p) @ W_k^T)
+    at p = q - delta(a, b, tap) — coefficients and cotangents both live at
+    the *source* position p, so a halo'd tile of (g, offset, mask) gives
+    every contribution without scatters (the TPU answer to the reference's
+    col2im scatter-add, dcn_v2_cuda.cu:291).
+
+    t_k = mask_k * (g @ W_k^T) is recomputed per (tap, vertical shift)
+    from just the TH source rows that shift touches: a whole-halo t_k
+    materialized per unrolled tap keeps K large values live at once and
+    blows Mosaic's scoped-VMEM stack (measured 26M > 16M); the per-shift
+    matmul is (TH*Wp, Cout)x(Cout, C) — more MXU launches, far less live
+    memory, and the kernel is VPU/VMEM-bound anyway.
+    """
+    dtype = jnp.float32
+    K = kh * kw
+    win = 2 * R + 2
+    acc_ref[:] = jnp.zeros((TH, W, C), dtype)
+    for k in range(K):
+        i, j = divmod(k, kw)
+
+        def a_body(ai, carry):
+            a = ai - R
+            # source rows p_y = q_y - (a + i - kh//2); halo'd arrays are
+            # padded by R+2 on top, so the slice starts at
+            y0 = (R + 2) - (a + i - (kh // 2))
+            g_rows = g_ref[0, 0, pl.ds(y0, TH), :, :].astype(dtype)
+            tk_ref[:] = jax.lax.dot_general(
+                g_rows.reshape(TH * Wp, Cout), w_ref[pl.ds(k * C, C), :],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(TH, Wp, C) * (
+                mask_ref[0, 0, pl.ds(y0, TH), :, k].astype(dtype)[..., None]
+            )
+            dyr = off_ref[0, 0, pl.ds(y0, TH), :, 2 * k]  # (TH, Wp)
+            dy = jnp.clip(dyr, -R, R)
+            iy = jnp.floor(dy)
+            fy = dy - iy
+            wy = (
+                jnp.where(iy == a, 1.0 - fy, 0.0) + jnp.where(iy == a - 1, fy, 0.0)
+            ).astype(dtype)
+            dxr = off_ref[0, 0, pl.ds(y0, TH), :, 2 * k + 1]
+            dx = jnp.clip(dxr, -R, R)
+            ix = jnp.floor(dx)
+            fx = dx - ix
+            for bb in range(-R, R + 2):
+                x0 = (R + 2) - (bb + j - (kw // 2))
+                ixs = ix[:, x0 : x0 + W]
+                fxs = fx[:, x0 : x0 + W]
+                wxs = (
+                    jnp.where(ixs == bb, 1.0 - fxs, 0.0)
+                    + jnp.where(ixs == bb - 1, fxs, 0.0)
+                ).astype(dtype)
+                coef = wy[:, x0 : x0 + W] * wxs
+                acc_ref[:] = acc_ref[:] + coef[..., None] * tk_ref[:, x0 : x0 + W, :]
+            return carry
+
+        jax.lax.fori_loop(0, win, a_body, 0)
+    gx_ref[0] = acc_ref[:].astype(gx_ref.dtype)
+
+
+def _bwd_x(x_shape, x_dtype, g, offset, mask, weight, radius: int, tile_h: int):
+    B, H, W, C = x_shape
+    kh, kw, _, Cout = weight.shape
+    K = kh * kw
+    R = radius
+    halo = 2 * R + 3
+    Cpad = ((C + 127) // 128) * 128
+    Wp = W + halo
+
+    def vmem_estimate(th: int) -> int:
+        hh = th + halo
+        g_tiles = 2 * hh * Wp * Cout * 4
+        off = 2 * hh * Wp * 2 * K * 4
+        msk = 2 * hh * Wp * K * 4
+        out = 2 * th * W * Cpad * 4
+        scratch = hh * Wp * Cpad * 4 + th * W * Cpad * 4
+        return g_tiles + off + msk + out + scratch
+
+    TH = _pick_tile_h(H, tile_h, vmem_estimate, budget=4 * 1024 * 1024)
+    T = H // TH
+    # sources padded (R+2) top/left, (R+1) bottom/right — the transpose of
+    # the forward x padding. g pads with zeros so out-of-range
+    # contributions vanish; offset/mask padding values are then irrelevant.
+    pad = ((0, 0), (R + 2, R + 1), (R + 2, R + 1), (0, 0))
+    gp = _stage_row_tiles(jnp.pad(g.astype(jnp.float32), pad), T, TH, halo)
+    op = _stage_row_tiles(jnp.pad(offset, pad), T, TH, halo)
+    mp = _stage_row_tiles(jnp.pad(mask, pad), T, TH, halo)
+    w_pad = jnp.pad(weight, ((0, 0), (0, 0), (0, Cpad - C), (0, 0)))
+    w_mat = w_pad.reshape(K * Cpad, Cout)
+
+    kern = functools.partial(
+        _bwd_x_kernel, R=R, TH=TH, W=W, Wp=Wp, C=Cpad, Cout=Cout, kh=kh, kw=kw
+    )
+    gx = pl.pallas_call(
+        kern,
+        grid=(B, T),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, TH + halo, Wp, Cout), lambda b, t: (b, t, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, TH + halo, Wp, 2 * K), lambda b, t: (b, t, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, TH + halo, Wp, K), lambda b, t: (b, t, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # weights
+        ],
+        out_specs=pl.BlockSpec(
+            (1, TH, W, Cpad), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, Cpad), x_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((TH, Wp, Cpad), jnp.float32),  # t_k rows for one shift
+            pltpu.VMEM((TH, W, Cpad), jnp.float32),  # gx accumulator
+        ],
+        interpret=_interpret(),
+    )(gp, op, mp, w_mat)
+    return gx[..., :C]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def deform_conv2d_pallas(
+    x, offset, mask, weight, bias, radius: int = 3, tile_h: int = 8, adaptive: bool = True
+):
     """Stride-1 modulated deformable conv via the Pallas dense-window
-    kernel. Numerics match :func:`deform_conv2d_dense` (same clamping)."""
-    return _forward_pallas(x, offset, mask, weight, bias, radius, tile_h)
+    kernel. Numerics match :func:`deform_conv2d_dense` (same clamping).
+
+    ``adaptive`` gates window positions on scalar per-tile offset bounds
+    (identical output either way; faster when trained offsets are small)."""
+    return _forward_pallas(x, offset, mask, weight, bias, radius, tile_h, adaptive)
 
 
-def _fwd(x, offset, mask, weight, bias, radius, tile_h):
-    out = _forward_pallas(x, offset, mask, weight, bias, radius, tile_h)
+def _fwd(x, offset, mask, weight, bias, radius, tile_h, adaptive):
+    out = _forward_pallas(x, offset, mask, weight, bias, radius, tile_h, adaptive)
     return out, (x, offset, mask, weight, bias)
 
 
-def _bwd(radius, tile_h, res, g):
+def _bwd(radius, tile_h, adaptive, res, g):
     x, offset, mask, weight, bias = res
-    # identical math through XLA; autodiff gives the backward
-    def f(x, offset, mask, weight, bias):
-        return deform_conv2d_dense(
-            x, offset, mask, weight, bias, stride=1, padding=weight.shape[0] // 2,
-            dilation=1, radius=radius,
-        )
+    if BACKWARD != "pallas":
+        # identical math through XLA; autodiff gives the backward (the
+        # oracle the Pallas kernels are tested against)
+        def f(x, offset, mask, weight, bias):
+            return deform_conv2d_dense(
+                x, offset, mask, weight, bias, stride=1,
+                padding=weight.shape[0] // 2, dilation=1, radius=radius,
+            )
 
-    _, vjp = jax.vjp(f, x, offset, mask, weight, bias)
-    return vjp(g)
+        _, vjp = jax.vjp(f, x, offset, mask, weight, bias)
+        return vjp(g)
+    go, gm, gw = _bwd_pom(x, offset, mask, g, weight, radius, tile_h)
+    gx = _bwd_x(x.shape, x.dtype, g, offset, mask, weight, radius, tile_h)
+    gb = None if bias is None else jnp.sum(g, axis=(0, 1, 2)).astype(bias.dtype)
+    return (
+        gx,
+        go.astype(offset.dtype),
+        gm.astype(mask.dtype),
+        gw.astype(weight.dtype),
+        gb,
+    )
 
 
 deform_conv2d_pallas.defvjp(_fwd, _bwd)

@@ -105,3 +105,83 @@ class TestGradients:
         mask = jnp.asarray(np.ones((B, H, W, 9), np.float32))
         g = jax.grad(lambda o: (deform_conv2d(x, o, mask, w) ** 2).sum())(offset)
         assert np.abs(np.asarray(g)).max() > 0
+
+
+class TestPallasKernels:
+    """The hand-written Pallas forward/backward kernels vs the XLA dense
+    oracle, run in interpret mode on CPU (the same code compiles with
+    Mosaic on TPU; tools/bench_dcn.py exercises it there). Backward
+    covers all five cotangents incl. the clipped-offset regime (the TPU
+    counterpart of the reference's col2im/col2im_coord CUDA backward,
+    dcn_v2_cuda.cu:206-341)."""
+
+    def _inputs(self, B, H, W, C, Cout, off_scale, seed=3):
+        from dcd_tpu.ops.dcn import deform_conv2d_dense  # noqa: F401
+
+        rng = np.random.RandomState(seed)
+        x = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+        off = jnp.asarray((rng.randn(B, H, W, 18) * off_scale).astype(np.float32))
+        mask = jax.nn.sigmoid(jnp.asarray(rng.randn(B, H, W, 9).astype(np.float32)))
+        w = jnp.asarray((rng.randn(3, 3, C, Cout) * 0.1).astype(np.float32))
+        b = jnp.asarray(rng.randn(Cout).astype(np.float32))
+        return x, off, mask, w, b
+
+    @pytest.mark.parametrize(
+        "B,H,W,C,Cout,R,off_scale",
+        [
+            (2, 8, 16, 8, 12, 2, 0.9),   # plain
+            (1, 8, 16, 8, 12, 2, 4.0),   # heavily clipped offsets
+            (1, 10, 12, 4, 8, 1, 0.6),   # R=1, H not a tile multiple
+        ],
+    )
+    def test_backward_matches_xla_oracle(self, B, H, W, C, Cout, R, off_scale):
+        from dcd_tpu.ops import dcn_pallas
+        from dcd_tpu.ops.dcn import deform_conv2d_dense
+
+        x, off, mask, w, b = self._inputs(B, H, W, C, Cout, off_scale)
+        g = jnp.asarray(
+            np.random.RandomState(11).randn(B, H, W, Cout).astype(np.float32)
+        )
+
+        def f_d(x, off, mask, w, b):
+            return deform_conv2d_dense(
+                x, off, mask, w, b, stride=1, padding=1, radius=R
+            )
+
+        def f_p(x, off, mask, w, b):
+            return dcn_pallas.deform_conv2d_pallas(x, off, mask, w, b, R, 4)
+
+        out_d, vjp_d = jax.vjp(f_d, x, off, mask, w, b)
+        out_p, vjp_p = jax.vjp(f_p, x, off, mask, w, b)
+        np.testing.assert_allclose(
+            np.asarray(out_p), np.asarray(out_d), rtol=1e-5, atol=1e-5
+        )
+        for name, a, want in zip(
+            ["gx", "goff", "gmask", "gw", "gb"], vjp_p(g), vjp_d(g)
+        ):
+            scale = float(jnp.max(jnp.abs(want))) + 1e-9
+            np.testing.assert_allclose(
+                np.asarray(a) / scale, np.asarray(want) / scale,
+                rtol=2e-6, atol=2e-6, err_msg=name,
+            )
+
+    def test_xla_fallback_switch(self):
+        from dcd_tpu.ops import dcn_pallas
+
+        x, off, mask, w, b = self._inputs(1, 8, 16, 8, 8, 1.0)
+        g = jnp.ones((1, 8, 16, 8), jnp.float32)
+
+        def f(x, off, mask, w, b):
+            return dcn_pallas.deform_conv2d_pallas(x, off, mask, w, b, 2, 4)
+
+        _, vjp = jax.vjp(f, x, off, mask, w, b)
+        got = vjp(g)
+        prev = dcn_pallas.BACKWARD
+        try:
+            dcn_pallas.BACKWARD = "xla"
+            _, vjp2 = jax.vjp(f, x, off, mask, w, b)
+            want = vjp2(g)
+        finally:
+            dcn_pallas.BACKWARD = prev
+        for a, bb in zip(got, want):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(bb), rtol=2e-5, atol=2e-5)
