@@ -222,6 +222,9 @@ class TestConfig:
 class ModelConfig:
     pretrain: bool = True
     pretrain_path: Optional[str] = None
+    # top-level param subtrees to freeze in finetune mode (reference
+    # MODEL.FREEZE_NAME, defaults.py:274 + check_point.py:78-96)
+    freeze_names: Tuple[str, ...] = ()
     use_sync_bn: bool = False
     # rematerialize backbone stages in the backward pass (jax.checkpoint):
     # trades ~30% more FLOPs for large activation-memory savings, the TPU

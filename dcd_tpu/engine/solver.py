@@ -51,6 +51,14 @@ def _bias_mask(params, is_bias: bool):
     return jax.tree_util.tree_map_with_path(f, params)
 
 
+def _cfg_without_freeze(cfg: Config) -> Config:
+    import dataclasses
+
+    return dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, freeze_names=())
+    )
+
+
 def build_optimizer(cfg: Config, params, iters_per_epoch: int) -> optax.GradientTransformation:
     s = cfg.solver
     schedule = make_lr_schedule(cfg, iters_per_epoch)
@@ -68,6 +76,24 @@ def build_optimizer(cfg: Config, params, iters_per_epoch: int) -> optax.Gradient
     clip = (
         optax.clip_by_global_norm(s.grad_norm_clip) if s.grad_norm_clip > 0 else optax.identity()
     )
+    if cfg.model.freeze_names:
+        # finetune-mode freezing (reference set_freeze_by_names,
+        # check_point.py:78-96): zero the updates of named top-level
+        # subtrees. Functional equivalent of requires_grad=False — the
+        # params never change; adam moments for them stay zero.
+        frozen = set(cfg.model.freeze_names)
+
+        def freeze_label(path, _):
+            name = path[0].key if hasattr(path[0], "key") else str(path[0])
+            return "frozen" if name in frozen else "live"
+
+        labels = jax.tree_util.tree_map_with_path(freeze_label, params)
+        inner = build_optimizer(
+            _cfg_without_freeze(cfg), params, iters_per_epoch
+        )
+        return optax.multi_transform(
+            {"frozen": optax.set_to_zero(), "live": inner}, labels
+        )
     if s.bias_lr_factor != 1.0:
         labels = jax.tree_util.tree_map_with_path(
             lambda path, _: "bias"

@@ -48,6 +48,56 @@ def build_model(cfg: Config) -> KeypointDetector:
     return KeypointDetector(cfg, dtype=dtype)
 
 
+_PRETRAIN_FAILED_SRC: Optional[str] = None
+
+
+def _maybe_load_pretrain(cfg: Config, variables):
+    """Load ImageNet DLA-34 torch weights into the backbone trunk when
+    ``cfg.model.pretrain`` is set (reference dla_dcn.py:344-358 downloads
+    and loads them on every backbone build). ``pretrain_path`` may be a
+    local .pth file, a ``catalog://`` entry, or an ``http(s)://`` URL; with
+    no path set, the reference's catalog DLA-34 URL is tried and an offline
+    environment degrades to random init with a warning (the reference
+    would crash — we train-from-scratch instead, logged loudly)."""
+    if not cfg.model.pretrain:
+        return variables
+    if cfg.model.pretrain_path is None and tuple(cfg.model.backbone.channels) != (
+        16, 32, 64, 128, 256, 512,
+    ):
+        # implicit catalog pretrain only applies to the real DLA-34 trunk
+        # (tiny test/dryrun configs would shape-mismatch anyway)
+        return variables
+    import logging
+
+    from ..utils.checkpoint import (
+        import_torch_dla34,
+        load_torch_checkpoint,
+        resolve_checkpoint_source,
+    )
+
+    log = logging.getLogger("dcd_tpu")
+    src = cfg.model.pretrain_path or "catalog://ImageNetPretrained/DLA34"
+    global _PRETRAIN_FAILED_SRC
+    if src == _PRETRAIN_FAILED_SRC:
+        return variables  # already warned this process
+    try:
+        path = resolve_checkpoint_source(src)
+        sd = load_torch_checkpoint(path)
+    except Exception as e:  # offline / missing file
+        if cfg.model.pretrain_path:
+            raise  # an explicit path failing is a real error
+        _PRETRAIN_FAILED_SRC = src
+        log.warning(
+            "ImageNet DLA-34 pretrain unavailable (%s: %s); training the "
+            "backbone from scratch — expect lower AP than the reference.",
+            src, e,
+        )
+        return variables
+    params, stats = import_torch_dla34(sd, variables)
+    log.info("Loaded ImageNet DLA-34 pretrain from %s", src)
+    return dict(variables, params=params, batch_stats=stats)
+
+
 def create_train_state(cfg: Config, rng, iters_per_epoch: int = 1000) -> Tuple[KeypointDetector, TrainState]:
     model = build_model(cfg)
     H, W = cfg.input.height_train, cfg.input.width_train
@@ -61,6 +111,7 @@ def create_train_state(cfg: Config, rng, iters_per_epoch: int = 1000) -> Tuple[K
     variables = jax.jit(
         lambda r, im, ei, el: model.init(r, im, ei, el, train=False)
     )(rng, dummy, edge_idx, edge_len)
+    variables = _maybe_load_pretrain(cfg, variables)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", FrozenDict())
     tx = build_optimizer(cfg, params, iters_per_epoch)

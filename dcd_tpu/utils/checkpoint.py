@@ -59,12 +59,24 @@ class Checkpointer:
         with open(self._tag_file(), "r") as f:
             return os.path.join(self.save_dir, f.read().strip())
 
-    def load(self, state, path: Optional[str] = None):
-        """Restore into a template TrainState (shape/dtype reference)."""
+    def load(self, state, path: Optional[str] = None, model_only: bool = False):
+        """Restore into a template TrainState (shape/dtype reference).
+
+        ``model_only=True`` restores params + batch_stats but keeps the
+        template's optimizer state and step (finetune semantics,
+        reference check_point.py:98-114 pops optimizer/scheduler)."""
         path = path or self.last_checkpoint()
         if path is None:
             return state
         has_bs = hasattr(state, "batch_stats")
+        if model_only:
+            # structure-free restore: the saved opt_state may not match the
+            # finetune optimizer's tree (e.g. freeze_names changes it)
+            restored = self.ckptr.restore(path)
+            kwargs = dict(params=jax.tree.map(jnp.asarray, restored["params"]))
+            if has_bs:
+                kwargs["batch_stats"] = jax.tree.map(jnp.asarray, restored["batch_stats"])
+            return state.replace(**kwargs)
         template = {
             "step": np.asarray(state.step),
             "params": jax.tree.map(np.asarray, state.params),
@@ -80,6 +92,130 @@ class Checkpointer:
         if has_bs:
             kwargs["batch_stats"] = jax.tree.map(jnp.asarray, restored["batch_stats"])
         return state.replace(**kwargs)
+
+
+# ---------------------------------------------------------------------------
+# torch checkpoint file reading + remote-source resolution
+# ---------------------------------------------------------------------------
+
+# reference ModelCatalog (DGDE/config/paths_catalog.py:62-76)
+MODEL_CATALOG = {
+    "ImageNetPretrained/DLA34": "http://dl.yf.io/dla/models/imagenet/dla34-ba72cf86.pth",
+}
+
+
+def resolve_checkpoint_source(f: str, cache_dir: Optional[str] = None) -> str:
+    """Resolve ``catalog://`` and ``http(s)://`` checkpoint sources to a
+    local file path, caching downloads (reference
+    DetectronCheckpointer._load_file, DGDE/utils/check_point.py:160-178 +
+    utils/model_zoo.py cache_url)."""
+    if f.startswith("catalog://"):
+        key = f[len("catalog://"):]
+        if key not in MODEL_CATALOG:
+            raise KeyError(f"unknown catalog entry {key!r}; have {sorted(MODEL_CATALOG)}")
+        f = MODEL_CATALOG[key]
+    if f.startswith(("http://", "https://")):
+        import urllib.request
+        from urllib.parse import urlparse
+
+        cache_dir = cache_dir or os.path.join(
+            os.path.expanduser(os.getenv("TORCH_HOME", "~/.torch")), "models"
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        cached = os.path.join(cache_dir, os.path.basename(urlparse(f).path))
+        if not os.path.exists(cached):
+            import shutil
+
+            tmp = cached + ".part"
+            # bounded timeout: an offline environment must fail fast, not hang
+            with urllib.request.urlopen(f, timeout=15) as r, open(tmp, "wb") as out:
+                shutil.copyfileobj(r, out)
+            os.replace(tmp, cached)
+        return cached
+    return f
+
+
+def _read_torch_zip(path: str) -> Dict[str, np.ndarray]:
+    """Minimal reader for the torch >=1.6 zip serialization format, used
+    when torch itself is unavailable. Supports plain tensor state dicts."""
+    import pickle
+    import zipfile
+
+    _DTYPES = {
+        "FloatStorage": np.float32, "DoubleStorage": np.float64,
+        "HalfStorage": np.float16, "LongStorage": np.int64,
+        "IntStorage": np.int32, "ShortStorage": np.int16,
+        "CharStorage": np.int8, "ByteStorage": np.uint8,
+        "BoolStorage": np.bool_, "BFloat16Storage": np.uint16,  # raw bits
+    }
+
+    zf = zipfile.ZipFile(path)
+    names = zf.namelist()
+    pkl_name = next(n for n in names if n.endswith("data.pkl"))
+    root = pkl_name[: -len("data.pkl")]
+
+    storages: Dict[str, Tuple[np.dtype, bytes]] = {}
+
+    class _Unpickler(pickle.Unpickler):
+        def find_class(self, module, name):
+            if name == "_rebuild_tensor_v2":
+                return _rebuild_tensor_v2
+            if name.endswith("Storage"):
+                return name  # sentinel: dtype tag
+            if module == "collections" and name == "OrderedDict":
+                return dict
+            raise pickle.UnpicklingError(f"blocked global {module}.{name}")
+
+        def persistent_load(self, pid):
+            assert pid[0] == "storage", pid
+            storage_type, key = pid[1], pid[2]
+            tag = storage_type if isinstance(storage_type, str) else storage_type.__name__
+            return ("storage", _DTYPES[tag], key)
+
+    def _rebuild_tensor_v2(storage, storage_offset, size, stride, *unused):
+        _, dtype, key = storage
+        raw = storages.setdefault(key, zf.read(f"{root}data/{key}"))
+        arr = np.frombuffer(raw, dtype=dtype)
+        itemsize = np.dtype(dtype).itemsize
+        return np.lib.stride_tricks.as_strided(
+            arr[storage_offset:],
+            shape=tuple(size),
+            strides=tuple(s * itemsize for s in stride),
+        ).copy()
+
+    with zf.open(pkl_name) as f:
+        obj = _Unpickler(f).load()
+    return obj
+
+
+def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
+    """Read a torch-serialized checkpoint file into a flat numpy state
+    dict (reference Checkpointer._load_file, check_point.py:139-140).
+
+    Uses torch.load when torch is importable (the image ships torch-cpu);
+    otherwise falls back to a dependency-light zipfile+pickle reader.
+    Unwraps ``{"model": ...}`` / ``{"state_dict": ...}`` containers and
+    strips DataParallel ``module.`` prefixes the way
+    model_serialization.py's suffix matching tolerated them.
+    """
+    try:
+        import torch
+    except ImportError:
+        loaded = _read_torch_zip(path)
+        to_np = lambda v: v
+    else:
+        loaded = torch.load(path, map_location="cpu", weights_only=True)
+        to_np = lambda v: v.detach().numpy() if hasattr(v, "detach") else v
+    for key in ("model", "state_dict"):
+        if isinstance(loaded, dict) and key in loaded and isinstance(loaded[key], dict):
+            loaded = loaded[key]
+    out = {}
+    for k, v in loaded.items():
+        if not hasattr(v, "shape"):
+            continue
+        k = k[len("module."):] if k.startswith("module.") else k
+        out[k] = np.asarray(to_np(v))
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -162,5 +298,126 @@ def import_torch_dla34(state_dict: Dict[str, np.ndarray], variables: Dict, level
             )
     for li in (2, 3, 4, 5):
         _map_tree(sd, f"level{li}", levels[li], base_p, (f"level{li}",), base_s)
+
+    return params, stats
+
+
+# ---------------------------------------------------------------------------
+# full DGDE detector import (backbone trunk + DCN decoder + heads)
+# ---------------------------------------------------------------------------
+
+
+def _torch_conv1d_to_flax(w: np.ndarray) -> np.ndarray:
+    """torch Conv1d (Cout, Cin, k) -> flax (k, Cin, Cout)."""
+    return np.transpose(w, (2, 1, 0))
+
+
+def _offset_conv_perm(K: int) -> np.ndarray:
+    """Output-channel permutation for importing a torch DCN offset/mask
+    conv.
+
+    The reference's DCN chunks its 3K-channel conv into (o1, o2, mask) and
+    re-cats (o1, o2) — an identity on the first 2K raw channels — and the
+    CUDA kernel then reads them *interleaved*: dy_t = ch[2t],
+    dx_t = ch[2t+1] (dcn_v2_im2col_cuda.cu offset_h/offset_w indexing).
+    The flax DCN reads block layout: dy_t = ch[t], dx_t = ch[K+t]. Both
+    are equivalent reparametrizations for training, but weight import must
+    permute: flax channel i takes torch channel perm[i]."""
+    t = np.arange(K)
+    return np.concatenate([2 * t, 2 * t + 1, 2 * K + t])
+
+
+def _map_dcn(sd, tprefix, params, path):
+    """torch DCN module (weight/bias/conv_offset_mask) -> flax DCN."""
+    _assign(params, path + ("kernel",), _torch_conv_to_flax(sd[f"{tprefix}.weight"]))
+    _assign(params, path + ("bias",), sd[f"{tprefix}.bias"])
+    w_om = _torch_conv_to_flax(sd[f"{tprefix}.conv_offset_mask.weight"])
+    b_om = sd[f"{tprefix}.conv_offset_mask.bias"]
+    K = w_om.shape[-1] // 3
+    perm = _offset_conv_perm(K)
+    _assign(params, path + ("conv_offset_mask", "kernel"), w_om[..., perm])
+    _assign(params, path + ("conv_offset_mask", "bias"), b_om[perm])
+
+
+def _map_deform_conv(sd, tprefix, params, path, stats):
+    """Reference DeformConv (DCN + actf BN, dla_dcn.py:398-410)."""
+    _map_dcn(sd, f"{tprefix}.conv", params, path + ("conv",))
+    _assign(params, path + ("actf_bn", "BatchNorm_0", "scale"), sd[f"{tprefix}.actf.0.weight"])
+    _assign(params, path + ("actf_bn", "BatchNorm_0", "bias"), sd[f"{tprefix}.actf.0.bias"])
+    _assign(stats, path + ("actf_bn", "BatchNorm_0", "mean"), sd[f"{tprefix}.actf.0.running_mean"])
+    _assign(stats, path + ("actf_bn", "BatchNorm_0", "var"), sd[f"{tprefix}.actf.0.running_var"])
+
+
+def import_torch_dgde(state_dict: Dict[str, np.ndarray], variables: Dict, cfg):
+    """Import a full reference DGDE checkpoint (KeypointDetector:
+    backbone.base trunk + backbone.dla_up/ida_up DCN decoder + heads) into
+    the flax tree — the AP-parity path (reference Checkpointer.load +
+    model_serialization.py:8-79). Returns (params, batch_stats).
+
+    Layout notes: conv weights OIHW->HWIO; DCN offset convs get the
+    interleave->block channel permutation (see :func:`_offset_conv_perm`);
+    the fixed bilinear ``up_k`` ConvTranspose weights are not parameters
+    here (BilinearUp is weightless by construction, fill_up_weights
+    parity is tested in tests/test_model.py)."""
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+
+    base_sd = {
+        k[len("backbone.base."):]: v for k, v in sd.items()
+        if k.startswith("backbone.base.")
+    }
+    params, stats = import_torch_dla34(
+        base_sd, variables, levels=tuple(cfg.model.backbone.levels)
+    )
+
+    bb_p, bb_s = params["backbone"], stats["backbone"]
+    first_level = int(np.log2(cfg.model.backbone.down_ratio))
+    n_dec = len(cfg.model.backbone.channels) - first_level  # decoder levels
+
+    # DLAUp: ida_i fuses levels [-i-2:], i.e. i+1 proj/node pairs (k>=1)
+    for i in range(n_dec - 1):
+        for k in range(1, i + 2):
+            for kind in ("proj", "node"):
+                _map_deform_conv(
+                    sd, f"backbone.dla_up.ida_{i}.{kind}_{k}",
+                    bb_p, ("dla_up", f"ida_{i}", f"{kind}_{k}"), bb_s,
+                )
+
+    # final IDAUp over (last_level - first_level) levels
+    for k in range(1, cfg.model.backbone.last_level - first_level):
+        for kind in ("proj", "node"):
+            _map_deform_conv(
+                sd, f"backbone.ida_up.{kind}_{k}",
+                bb_p, ("ida_up", f"{kind}_{k}"), bb_s,
+            )
+
+    # ----- heads (reference detector_predictor.py:60-125) -----
+    hp, hs = params["heads"], stats["heads"]
+    _map_convbn(sd, "heads.class_head.0", "heads.class_head.1",
+                hp, ("class_feat",), hs, ("class_feat",))
+    _assign(hp, ("class_out", "kernel"), _torch_conv_to_flax(sd["heads.class_head.3.weight"]))
+    _assign(hp, ("class_out", "bias"), sd["heads.class_head.3.bias"])
+
+    groups = cfg.model.head.regression_heads
+    for gi, group in enumerate(groups):
+        _map_convbn(sd, f"heads.reg_features.{gi}.0", f"heads.reg_features.{gi}.1",
+                    hp, (f"reg_feat_{gi}",), hs, (f"reg_feat_{gi}",))
+        for ki, key in enumerate(group):
+            _assign(hp, (f"reg_out_{gi}_{key}", "kernel"),
+                    _torch_conv_to_flax(sd[f"heads.reg_heads.{gi}.{ki}.weight"]))
+            _assign(hp, (f"reg_out_{gi}_{key}", "bias"), sd[f"heads.reg_heads.{gi}.{ki}.bias"])
+
+    if cfg.model.head.enable_edge_fusion:
+        for tname in ("trunc_heatmap_conv", "trunc_offset_conv"):
+            _assign(hp, (tname, "conv1", "kernel"),
+                    _torch_conv1d_to_flax(sd[f"heads.{tname}.0.weight"]))
+            _assign(hp, (tname, "conv1", "bias"), sd[f"heads.{tname}.0.bias"])
+            if cfg.model.head.edge_fusion_norm == "BN":
+                _assign(hp, (tname, "bn", "BatchNorm_0", "scale"), sd[f"heads.{tname}.1.weight"])
+                _assign(hp, (tname, "bn", "BatchNorm_0", "bias"), sd[f"heads.{tname}.1.bias"])
+                _assign(hs, (tname, "bn", "BatchNorm_0", "mean"), sd[f"heads.{tname}.1.running_mean"])
+                _assign(hs, (tname, "bn", "BatchNorm_0", "var"), sd[f"heads.{tname}.1.running_var"])
+            _assign(hp, (tname, "conv2", "kernel"),
+                    _torch_conv1d_to_flax(sd[f"heads.{tname}.3.weight"]))
+            _assign(hp, (tname, "conv2", "bias"), sd[f"heads.{tname}.3.bias"])
 
     return params, stats

@@ -37,6 +37,22 @@ def parse_args():
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--num_iters", type=int, default=None, help="override max iterations")
     p.add_argument("--resume", action="store_true")
+    p.add_argument(
+        "--pretrain", default=None, metavar="SRC",
+        help="ImageNet DLA-34 weights: a .pth path, catalog://ImageNetPretrained/DLA34, "
+        "or an http(s) URL (reference dla_dcn.py:344-358)",
+    )
+    p.add_argument(
+        "--finetune", default=None, metavar="CKPT",
+        help="load model weights from an orbax checkpoint, reset the iteration "
+        "counter, and freeze cfg.model.freeze_names (reference check_point.py:98-114)",
+    )
+    p.add_argument(
+        "--vis", type=int, default=0, metavar="N",
+        help="with --eval: write debug panels (pred+GT wireframes, BEV, "
+        "heatmap) for the first N images to OUTPUT/vis "
+        "(reference visualize_infer.show_image_with_boxes)",
+    )
     p.add_argument("--seed", type=int, default=0)
     # multi-host
     p.add_argument("--coordinator", default=None)
@@ -70,6 +86,11 @@ def main():
             cfg, solver=dataclasses.replace(cfg.solver, ims_per_batch=args.batch_size)
         )
     cfg = dataclasses.replace(cfg, output_dir=args.output, seed=args.seed)
+    if args.pretrain:
+        cfg = dataclasses.replace(
+            cfg,
+            model=dataclasses.replace(cfg.model, pretrain=True, pretrain_path=args.pretrain),
+        )
 
     logger = setup_logger("dcd_tpu", cfg.output_dir, jax.process_index())
     logger.info(f"devices: {jax.devices()}")
@@ -87,6 +108,31 @@ def main():
     if args.resume and ckptr.has_checkpoint():
         state = ckptr.load(state)
         logger.info(f"resumed at step {int(state.step)}")
+    elif args.finetune:
+        # load weights only, reset the iteration counter; param subtrees in
+        # cfg.model.freeze_names get zeroed updates from the optimizer
+        # (reference Checkpointer.finetune, check_point.py:98-114)
+        import jax.numpy as _jnp
+
+        state = ckptr.load(state, args.finetune, model_only=True).replace(
+            step=_jnp.zeros((), _jnp.int32)
+        )
+        logger.info(
+            f"finetune from {args.finetune}; frozen: {list(cfg.model.freeze_names)}"
+        )
+    elif args.ckpt and args.ckpt.endswith((".pth", ".pkl")):
+        # a reference torch checkpoint: import the full detector
+        # (backbone + DCN decoder + heads) — the AP-parity path
+        from dcd_tpu.utils.checkpoint import (
+            import_torch_dgde, load_torch_checkpoint, resolve_checkpoint_source,
+        )
+
+        sd = load_torch_checkpoint(resolve_checkpoint_source(args.ckpt))
+        params, stats = import_torch_dgde(sd, {
+            "params": state.params, "batch_stats": state.batch_stats,
+        }, cfg)
+        state = state.replace(params=params, batch_stats=stats)
+        logger.info(f"imported torch DGDE checkpoint {args.ckpt}")
     elif args.ckpt:
         state = ckptr.load(state, args.ckpt)
 
@@ -104,6 +150,14 @@ def main():
     meters = MetricLogger()
     writer = MetricWriter(os.path.join(cfg.output_dir, "writer")) if jax.process_index() == 0 else None
     save_every = int(cfg.solver.save_checkpoint_epoch_interval * iters_per_epoch)
+
+    # continue the deterministic sample stream where the restored step left
+    # off (round-1 weakness: resume restarted the stream from scratch)
+    loader.start_batch = int(state.step)
+    if loader.buckets:
+        logger.info(
+            f"multi-scale buckets: {[(b.width, b.height) for b in loader.buckets]}"
+        )
 
     t_end = time.perf_counter()
     for batch, iteration in zip(loader, range(int(state.step), max_iter)):
@@ -128,10 +182,15 @@ def main():
 
 
 def run_eval(cfg, args, model, state, logger):
+    """Sharded multi-process evaluation: each process runs inference on its
+    InferenceSampler shard and writes per-image KITTI txts; the shared
+    filesystem is the gather medium (replacing the reference's pickled
+    all_gather, utils/comm.py:140-175 + distributed_sampler.py:175-202);
+    process 0 computes AP after a global barrier."""
     import jax
     import jax.numpy as jnp
 
-    from dcd_tpu.data.kitti_dataset import KITTIDataset
+    from dcd_tpu.data.kitti_dataset import InferenceSampler, KITTIDataset
     from dcd_tpu.engine.infer import format_kitti_lines, postprocess
     from dcd_tpu.evaluation import evaluate_from_files
     from dcd_tpu.utils.timer import Timer
@@ -139,6 +198,11 @@ def run_eval(cfg, args, model, state, logger):
     ds = KITTIDataset(cfg, args.data_root, is_train=False, augment=False)
     out_dir = os.path.join(cfg.output_dir, "inference", "data")
     os.makedirs(out_dir, exist_ok=True)
+    sampler = InferenceSampler(len(ds), jax.process_index(), jax.process_count())
+    n_vis = int(getattr(args, "vis", 0))
+    vis_dir = os.path.join(cfg.output_dir, "vis")
+    if n_vis:
+        os.makedirs(vis_dir, exist_ok=True)
 
     @jax.jit
     def infer(images, edge_idx, edge_len, calib_P, pad_size, img_size):
@@ -149,7 +213,7 @@ def run_eval(cfg, args, model, state, logger):
         return postprocess(cfg, preds, calib_P, pad_size, img_size)
 
     timer = Timer()
-    for i in range(len(ds)):
+    for i in sampler:
         s = ds.get_sample(i)
         t = s.targets
         timer.tic()
@@ -165,12 +229,38 @@ def run_eval(cfg, args, model, state, logger):
         lines = format_kitti_lines(np.asarray(out["dets"])[0], np.asarray(out["valid"])[0])
         with open(os.path.join(out_dir, f"{s.img_id}.txt"), "w") as f:
             f.write("\n".join(lines) + ("\n" if lines else ""))
+        if n_vis > 0:
+            n_vis -= 1
+            from dcd_tpu.data.kitti_dataset import _load_image
+            from dcd_tpu.utils.visualize import (
+                gt_rows_from_objects, save_scene_visualization,
+            )
+
+            # detections are in original-image coordinates, so draw on the
+            # raw (unpadded) frame
+            rgb = _load_image(os.path.join(ds.image_dir, f"{s.img_id}.png"))
+            objs = ds._load_objects(s.img_id) or []
+            save_scene_visualization(
+                os.path.join(vis_dir, f"{s.img_id}.png"),
+                rgb,
+                np.asarray(out["dets"])[0],
+                np.asarray(out["valid"])[0],
+                s.calib,
+                gt_rows=gt_rows_from_objects(objs),
+            )
     logger.info(f"inference: {1.0 / max(timer.average_time, 1e-9):.1f} img/s")
+    if jax.process_count() > 1:
+        # barrier so every process's txts are on disk before AP
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("dcd_eval_gather")
+    if jax.process_index() != 0:
+        return
     result, ret = evaluate_from_files(
         os.path.join(args.data_root, "label_2"),
         out_dir,
         os.path.join(args.data_root, "ImageSets", f"{cfg.datasets.test_split}.txt"),
-        current_class=0,
+        current_class=[c.lower() for c in cfg.datasets.detect_classes],
         metric=cfg.test.metric[0],
     )
     logger.info("\n" + result)
