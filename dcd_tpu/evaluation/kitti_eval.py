@@ -11,6 +11,19 @@ becomes the vectorized :mod:`.rotate_iou`.
 
 Matching the protocol bit-for-bit matters: any deviation in the ignore
 rules shifts AP by whole points.
+
+Provenance note: ``get_thresholds`` / ``clean_data`` / ``compute_statistics``
+are deliberate near-line-for-line ports of the official KITTI protocol code
+that the reference itself vendored from the public kitti-object-eval-python
+project (eval.py:8-273) — SURVEY.md §7.3 requires porting it exactly. The
+surrounding machinery (vectorized IoU, eval_class structure, label IO, the
+native fused matcher in dcd_tpu/native/eval_native.cc) is original.
+
+The hot loops delegate to the native C++ fused matcher when available
+(one call per image covers every score threshold, mirroring the
+reference's fused_compute_statistics, eval.py:276-335); the Python
+protocol loops remain as the no-toolchain fallback and as the oracle the
+native path is tested against.
 """
 
 from __future__ import annotations
@@ -21,6 +34,7 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
+from .. import native
 from .rotate_iou import rotate_iou_eval
 
 CLASS_NAMES = ["car", "pedestrian", "cyclist", "van", "person_sitting", "truck"]
@@ -343,18 +357,41 @@ def eval_class(
                 dontcares,
                 total_num_valid_gt,
             ) = _prepare_data(gt_annos, dt_annos, current_class, difficulty)
+            # precompute det-vs-DontCare overlaps once per image (used by
+            # the native fused matcher; threshold/min_overlap independent)
+            dt_dc_overlaps = [
+                image_box_overlap(
+                    dt_datas_list[i][:, :4].astype(np.float64), dontcares[i], 0
+                )
+                if metric == 0 and dontcares[i].shape[0] > 0
+                else None
+                for i in range(len(gt_annos))
+            ]
             for k, min_overlap in enumerate(min_overlaps[:, metric, m]):
                 thresholdss = []
                 for i in range(len(gt_annos)):
-                    _, _, _, _, th = compute_statistics(
-                        overlaps[i], gt_datas_list[i], dt_datas_list[i],
-                        ignored_gts[i], ignored_dets[i], dontcares[i],
-                        metric, min_overlap=min_overlap, thresh=0.0, compute_fp=False,
+                    th = native.kitti_match_scores(
+                        overlaps[i], dt_datas_list[i][:, -1],
+                        ignored_gts[i], ignored_dets[i], min_overlap,
                     )
+                    if th is None:  # no native lib — Python protocol loop
+                        _, _, _, _, th = compute_statistics(
+                            overlaps[i], gt_datas_list[i], dt_datas_list[i],
+                            ignored_gts[i], ignored_dets[i], dontcares[i],
+                            metric, min_overlap=min_overlap, thresh=0.0, compute_fp=False,
+                        )
                     thresholdss += th.tolist()
                 thresholds = np.array(get_thresholds(np.array(thresholdss), total_num_valid_gt))
                 pr = np.zeros([len(thresholds), 4])
                 for i in range(len(gt_annos)):
+                    done = native.kitti_fused_statistics(
+                        overlaps[i], dt_datas_list[i][:, -1], dt_datas_list[i][:, 4],
+                        gt_datas_list[i][:, 4], dt_dc_overlaps[i],
+                        ignored_gts[i], ignored_dets[i], metric, min_overlap,
+                        thresholds, compute_aos, pr,
+                    )
+                    if done:
+                        continue
                     for t, thr in enumerate(thresholds):
                         tp, fp, fn, similarity, _ = compute_statistics(
                             overlaps[i], gt_datas_list[i], dt_datas_list[i],

@@ -16,8 +16,11 @@ from typing import Optional
 import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_SO_PATH = os.path.join(_HERE, "_heatmap_native.so")
-_SRC = os.path.join(_HERE, "heatmap_native.cc")
+_SO_PATH = os.path.join(_HERE, "_dcd_native.so")
+_SRCS = [
+    os.path.join(_HERE, "heatmap_native.cc"),
+    os.path.join(_HERE, "eval_native.cc"),
+]
 
 _lib: Optional[ctypes.CDLL] = None
 _build_error: Optional[str] = None
@@ -25,11 +28,13 @@ _build_error: Optional[str] = None
 
 def _build() -> Optional[ctypes.CDLL]:
     global _build_error
-    if os.path.exists(_SO_PATH) and os.path.getmtime(_SO_PATH) >= os.path.getmtime(_SRC):
+    if os.path.exists(_SO_PATH) and all(
+        os.path.getmtime(_SO_PATH) >= os.path.getmtime(src) for src in _SRCS
+    ):
         return ctypes.CDLL(_SO_PATH)
     try:
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC, "-o", _SO_PATH],
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", *_SRCS, "-o", _SO_PATH],
             check=True,
             capture_output=True,
         )
@@ -55,6 +60,23 @@ def get_lib() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int, ctypes.c_int,
                 ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
                 ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ]
+            _lib.kitti_match_scores.restype = ctypes.c_int
+            _lib.kitti_match_scores.argtypes = [
+                ctypes.POINTER(ctypes.c_double), ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_double, ctypes.POINTER(ctypes.c_double),
+            ]
+            _lib.kitti_fused_statistics.argtypes = [
+                ctypes.POINTER(ctypes.c_double), ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int, ctypes.c_double,
+                ctypes.POINTER(ctypes.c_double), ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_double),
             ]
     return _lib
 
@@ -129,3 +151,62 @@ def pad_normalize_image(
         _ptr(mean, ctypes.c_float), _ptr(std, ctypes.c_float),
     )
     return out
+
+
+def kitti_match_scores(overlaps, dt_scores, ignored_gt, ignored_det, min_overlap):
+    """Native phase-1 matcher: scores of matched TPs at thresh=0.
+    Returns None when the native lib is unavailable (caller falls back to
+    the Python protocol loop)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    det_size, gt_size = overlaps.shape
+    overlaps = np.ascontiguousarray(overlaps, np.float64)
+    dt_scores = np.ascontiguousarray(dt_scores, np.float64)
+    ignored_gt = np.ascontiguousarray(ignored_gt, np.int64)
+    ignored_det = np.ascontiguousarray(ignored_det, np.int64)
+    out = np.empty((max(gt_size, 1),), np.float64)
+    n = lib.kitti_match_scores(
+        _ptr(overlaps, ctypes.c_double), det_size, gt_size,
+        _ptr(dt_scores, ctypes.c_double),
+        _ptr(ignored_gt, ctypes.c_int64), _ptr(ignored_det, ctypes.c_int64),
+        ctypes.c_double(min_overlap), _ptr(out, ctypes.c_double),
+    )
+    return out[:n]
+
+
+def kitti_fused_statistics(
+    overlaps, dt_scores, dt_alphas, gt_alphas, dt_dc_overlap,
+    ignored_gt, ignored_det, metric, min_overlap, thresholds, compute_aos, pr,
+):
+    """Native fused greedy matching over all thresholds for one image;
+    accumulates into pr (T, 4) in place. Returns False when the native lib
+    is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    det_size, gt_size = overlaps.shape
+    dc_size = dt_dc_overlap.shape[1] if dt_dc_overlap is not None else 0
+    overlaps = np.ascontiguousarray(overlaps, np.float64)
+    dt_scores = np.ascontiguousarray(dt_scores, np.float64)
+    dt_alphas = np.ascontiguousarray(dt_alphas, np.float64)
+    gt_alphas = np.ascontiguousarray(gt_alphas, np.float64)
+    if dc_size:
+        dc = np.ascontiguousarray(dt_dc_overlap, np.float64)
+        dc_ptr = _ptr(dc, ctypes.c_double)
+    else:
+        dc_ptr = ctypes.POINTER(ctypes.c_double)()
+    ignored_gt = np.ascontiguousarray(ignored_gt, np.int64)
+    ignored_det = np.ascontiguousarray(ignored_det, np.int64)
+    thresholds = np.ascontiguousarray(thresholds, np.float64)
+    assert pr.dtype == np.float64 and pr.flags.c_contiguous
+    lib.kitti_fused_statistics(
+        _ptr(overlaps, ctypes.c_double), det_size, gt_size,
+        _ptr(dt_scores, ctypes.c_double), _ptr(dt_alphas, ctypes.c_double),
+        _ptr(gt_alphas, ctypes.c_double), dc_ptr, dc_size,
+        _ptr(ignored_gt, ctypes.c_int64), _ptr(ignored_det, ctypes.c_int64),
+        int(metric), ctypes.c_double(min_overlap),
+        _ptr(thresholds, ctypes.c_double), len(thresholds), int(compute_aos),
+        _ptr(pr, ctypes.c_double),
+    )
+    return True

@@ -220,3 +220,67 @@ class TestDifficultyRules:
         dt["name"] = np.array(["Car"] * 50)
         _, ret = kitti_eval.get_official_eval_result([gt], [dt], ["Car"], metric="R40")
         assert abs(ret["Car_3d_moderate_R40_0.70"] - 100.0) < 1e-6
+
+
+class TestNativeFusedMatcher:
+    """The C++ fused matcher (native/eval_native.cc) must agree with the
+    Python protocol loops exactly (the native path mirrors the reference's
+    fused_compute_statistics, eval.py:276-335)."""
+
+    def _run_both(self, gt_annos, dt_annos):
+        from dcd_tpu import native
+
+        if not native.available():
+            import pytest
+
+            pytest.skip("no native toolchain")
+        r_nat, ret_nat = kitti_eval.get_official_eval_result(
+            gt_annos, dt_annos, ["Car"], metric="R40"
+        )
+        orig = native.get_lib
+        try:
+            native.get_lib = lambda: None  # force the Python fallback
+            r_py, ret_py = kitti_eval.get_official_eval_result(
+                gt_annos, dt_annos, ["Car"], metric="R40"
+            )
+        finally:
+            native.get_lib = orig
+        return ret_nat, ret_py
+
+    def test_native_matches_python_messy_scene(self):
+        rng = np.random.RandomState(7)
+        gt_annos, dt_annos = [], []
+        for i in range(6):
+            r = np.random.RandomState(100 + i)
+            gt = _make_annos(12, jitter=0.0, rng=r)
+            # mix in ignored classes, DontCare regions, occlusion levels
+            gt["name"][3] = "Van"
+            gt["name"][4] = "DontCare"
+            gt["occluded"][5] = 2
+            gt["truncated"][6] = 0.4
+            gt["bbox"][7] = [0, 0, 60, 30]  # small -> height-ignored
+            dt = _make_annos(14, jitter=0.6, rng=np.random.RandomState(200 + i))
+            # overlap some dts with the gts so matches happen
+            dt["bbox"][:10] = gt["bbox"][:10] + rng.uniform(-6, 6, (10, 4))
+            dt["location"][:10] = gt["location"][:10] + rng.uniform(-0.4, 0.4, (10, 3))
+            dt["rotation_y"][:10] = gt["rotation_y"][:10] + rng.uniform(-0.2, 0.2, 10)
+            dt["dimensions"][:10] = gt["dimensions"][:10]
+            gt_annos.append(gt)
+            dt_annos.append(dt)
+        ret_nat, ret_py = self._run_both(gt_annos, dt_annos)
+        assert ret_nat.keys() == ret_py.keys()
+        for k in ret_nat:
+            np.testing.assert_allclose(ret_nat[k], ret_py[k], atol=1e-9, err_msg=k)
+
+    def test_native_matches_python_edge_cases(self):
+        # empty detections / empty gts / all-ignored
+        gt_a = _make_annos(45, rng=np.random.RandomState(1))
+        dt_empty = {
+            k: (v[:0].copy() if isinstance(v, np.ndarray) else v)
+            for k, v in gt_a.items()
+        }
+        gt_empty = dict(dt_empty)
+        dt_b = _make_annos(5, rng=np.random.RandomState(2))
+        ret_nat, ret_py = self._run_both([gt_a, gt_empty], [dt_empty, dt_b])
+        for k in ret_nat:
+            np.testing.assert_allclose(ret_nat[k], ret_py[k], atol=1e-9, err_msg=k)

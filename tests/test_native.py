@@ -61,3 +61,38 @@ def test_pad_normalize_matches_numpy():
         np.asarray(cfg.input.pixel_mean), np.asarray(cfg.input.pixel_std),
     )
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_draw_gaussian_1d():
+    """Reference heatmap_coder.py:68-81: peak 1 at the center, symmetric,
+    max-merge with existing values, border-clipped."""
+    from dcd_tpu.data.heatmap import draw_gaussian_1d
+
+    edge = np.zeros(11, np.float32)
+    draw_gaussian_1d(edge, 5, 3)
+    assert edge[5] == 1.0
+    np.testing.assert_allclose(edge[5 - 3 : 5], edge[5 + 3 : 5 : -1], rtol=1e-6)
+    assert edge[0] == 0.0
+    # max-merge keeps the larger of two splats
+    prev = edge.copy()
+    draw_gaussian_1d(edge, 5, 1)
+    np.testing.assert_array_equal(edge, prev)
+    # center at the border clips without wrapping
+    e2 = np.zeros(6, np.float32)
+    draw_gaussian_1d(e2, 0, 3)
+    assert e2[0] == 1.0 and e2.argmax() == 0
+
+
+def test_draw_ellip_gaussian_one_sided_radii():
+    """Reference heatmap_coder.py:139-159: radii come from the smaller
+    one-sided box extent; equals draw_umich_gaussian_2d with those radii."""
+    from dcd_tpu.data.heatmap import draw_ellip_gaussian, draw_umich_gaussian_2d
+
+    hm = np.zeros((20, 30), np.float32)
+    center = (12.0, 10.0)  # (x, y)
+    box2d = (4.0, 6.0, 28.0, 12.0)  # width one-side min = 8, height = 2
+    draw_ellip_gaussian(hm, center, box2d, ratio=0.5)
+    want = np.zeros((20, 30), np.float32)
+    draw_umich_gaussian_2d(want, center, int(8 * 0.5), int(2 * 0.5))
+    np.testing.assert_array_equal(hm, want)
+    assert hm[10, 12] == 1.0
