@@ -75,3 +75,33 @@ def draw_umich_gaussian_2d(
         patch = gaussian[radius_y - top : radius_y + bottom, radius_x - left : radius_x + right]
         np.maximum(masked, patch * k, out=masked)
     return heatmap
+
+
+def draw_gaussian_1d(edgemap: np.ndarray, center: int, radius: int) -> np.ndarray:
+    """Max-splat a 1D gaussian onto an edge map
+    (reference heatmap_coder.py:68-81). Shipped for API parity: the
+    reference imports it in kitti.py but the shipped config never calls
+    it (same as here)."""
+    diameter = 2 * radius + 1
+    sigma = diameter / 6.0
+    grid = np.arange(-radius, radius + 1)
+    gaussian = np.exp(-(grid * grid) / (2 * sigma * sigma))
+    center = int(center)
+    left, right = min(center, radius), min(len(edgemap) - center, radius + 1)
+    if left + right > 0:
+        masked = edgemap[center - left : center + right]
+        np.maximum(masked, gaussian[radius - left : radius + right], out=masked)
+    return edgemap
+
+
+def draw_ellip_gaussian(
+    heatmap: np.ndarray, center, box2d, ratio: float = 0.5, k: float = 1.0
+) -> np.ndarray:
+    """Elliptic gaussian with radii taken from the one-sided box extent
+    around the center (reference heatmap_coder.py:139-159; shipped-unused
+    there and here — the wired truncated-object path is
+    :func:`draw_umich_gaussian_2d`)."""
+    bbox_width = min(center[0] - box2d[0], box2d[2] - center[0])
+    bbox_height = min(center[1] - box2d[1], box2d[3] - center[1])
+    radius_x, radius_y = int(bbox_width * ratio), int(bbox_height * ratio)
+    return draw_umich_gaussian_2d(heatmap, center, radius_x, radius_y, k)

@@ -85,7 +85,18 @@ class KITTIDataset:
         anns = self.kpts_ann.get(str(int(img_id)), [])
         return read_label(path, anns, self.extra_kpts_num)
 
-    def get_sample(self, index: int, rng: Optional[np.random.RandomState] = None) -> EncodedSample:
+    def get_sample(
+        self,
+        index: int,
+        rng: Optional[np.random.RandomState] = None,
+        bucket=None,
+    ) -> EncodedSample:
+        """Load + augment + encode one sample. With ``bucket`` (a
+        :class:`..data.multiscale.ScaleBucket`) the scene is resized to fit
+        the bucket and encoded at the bucket's static input shape —
+        the multi-scale path (reference RandomResize,
+        augmentations.py:89-132, driven per batch here so every compiled
+        shape is a static bucket)."""
         img_id = self.ids[index]
         img = _load_image(os.path.join(self.image_dir, f"{img_id}.png"))
         calib = Calibration.from_kitti_file(os.path.join(self.calib_dir, f"{img_id}.txt"))
@@ -94,6 +105,10 @@ class KITTIDataset:
             objs = [o for o in objs if o.type in self.classes or o.type == "DontCare"]
         if self.augmentation is not None and rng is not None:
             img, objs, calib = self.augmentation(img, objs, calib, rng)
+        if bucket is not None:
+            from .multiscale import encode_at_bucket
+
+            return encode_at_bucket(img, objs, calib, self.cfg, bucket, img_id=img_id)
         # safety: images larger than the input canvas are scaled down with
         # the calibration (the reference assumes canvas >= image and would
         # fail on negative padding)
@@ -142,7 +157,21 @@ class InferenceSampler:
 
 
 class DataLoader:
-    """Threaded prefetching batch loader producing fixed-shape dicts."""
+    """Threaded prefetching batch loader producing fixed-shape dicts.
+
+    Deterministic: batch *n* is a pure function of (sampler stream, seed, n)
+    — workers claim batch numbers, sample→batch assignment is drawn from the
+    index stream in batch order under a lock, augmentation RNG is seeded per
+    batch, and a reorder buffer yields batches strictly in order. That makes
+    runs reproducible batch-for-batch regardless of worker timing (round-1
+    weakness) and makes resume exact: set :attr:`start_batch` to the restored
+    step and the stream continues where it left off instead of restarting.
+
+    Multi-scale: with ``buckets`` (len>1), batch *n* is encoded at bucket
+    ``schedule[n]`` (deterministic seeded choice, reference RandomResize +
+    INPUT.MULTI_TRAIN_SIZE, augmentations.py:89-132) — each bucket is one
+    static compiled shape.
+    """
 
     def __init__(
         self,
@@ -152,6 +181,8 @@ class DataLoader:
         num_workers: int = 4,
         prefetch: int = 4,
         seed: int = 0,
+        buckets: Optional[Sequence] = None,
+        bucket_seed: int = 63,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -159,68 +190,87 @@ class DataLoader:
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
         self.seed = seed
+        self.buckets = list(buckets) if buckets else []
+        self.bucket_seed = bucket_seed
+        self.start_batch = 0  # set before iter() to resume mid-stream
+
+    def _bucket_for(self, n: int):
+        if len(self.buckets) <= 1:
+            return self.buckets[0] if self.buckets else None
+        # deterministic per-batch choice (reference seeds its resize choice,
+        # augmentations.py:96-101); same n -> same bucket on every process
+        r = np.random.RandomState((self.bucket_seed * 1000003 + n) % (2**31))
+        return self.buckets[int(r.randint(len(self.buckets)))]
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         idx_iter = iter(self.sampler)
-        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        idx_lock = threading.Lock()
+        index_batches: List[List[int]] = []  # index_batches[n] = batch n's ids
+
+        def batch_indices(n: int) -> List[int]:
+            with idx_lock:
+                while len(index_batches) <= n:
+                    chunk = []
+                    try:
+                        for _ in range(self.batch_size):
+                            chunk.append(next(idx_iter))
+                    except StopIteration:
+                        pass
+                    index_batches.append(chunk)
+                return index_batches[n]
+
+        claim_lock = threading.Lock()
+        next_claim = [self.start_batch]
+
+        def claim() -> int:
+            with claim_lock:
+                n = next_claim[0]
+                next_claim[0] += 1
+                return n
+
+        q: "queue.Queue" = queue.Queue()
         stop = threading.Event()
-        lock = threading.Lock()
+        # bound the number of batches in flight (reorder buffer + queue)
+        slots = threading.Semaphore(self.prefetch + self.num_workers)
 
-        def next_batch_indices():
-            with lock:
-                out = []
-                try:
-                    for _ in range(self.batch_size):
-                        out.append(next(idx_iter))
-                except StopIteration:
-                    pass
-                return out
-
-        def put(item) -> bool:
-            # bounded put that honors shutdown (a blocking put would leak
-            # threads past interpreter exit)
+        def worker():
             while not stop.is_set():
-                try:
-                    q.put(item, timeout=0.25)
-                    return True
-                except queue.Full:
+                if not slots.acquire(timeout=0.25):
                     continue
-            return False
-
-        def worker(wid: int):
-            rng = np.random.RandomState(self.seed * 1000 + wid)
-            while not stop.is_set():
-                indices = next_batch_indices()
+                n = claim()
+                indices = batch_indices(n)
                 if not indices:
-                    put(None)
+                    q.put((n, None))
                     return
-                samples = [self.dataset.get_sample(i, rng) for i in indices]
+                rng = np.random.RandomState((self.seed * 100003 + n) % (2**31))
+                bucket = self._bucket_for(n)
+                samples = [
+                    self.dataset.get_sample(i, rng, bucket=bucket) for i in indices
+                ]
                 batch = collate(samples)
                 batch["img_ids"] = [s.img_id for s in samples]
-                if not put(batch):
-                    return
+                q.put((n, batch))
 
         threads = [
-            threading.Thread(target=worker, args=(w,), daemon=True) for w in range(self.num_workers)
+            threading.Thread(target=worker, daemon=True) for _ in range(self.num_workers)
         ]
         for t in threads:
             t.start()
-        finished = 0
+        pending: Dict[int, Optional[Dict]] = {}
+        want = self.start_batch
         try:
-            while finished < self.num_workers:
-                item = q.get()
+            while True:
+                while want not in pending:
+                    n, batch = q.get()
+                    pending[n] = batch
+                item = pending.pop(want)
+                want += 1
                 if item is None:
-                    finished += 1
-                    continue
+                    return  # stream exhausted (finite sampler)
+                slots.release()
                 yield item
         finally:
             stop.set()
-            # drain so workers blocked on put() can observe the stop flag
-            try:
-                while True:
-                    q.get_nowait()
-            except queue.Empty:
-                pass
             for t in threads:
                 t.join(timeout=2.0)
 
@@ -238,4 +288,9 @@ def make_data_loader(cfg: Config, root: str, is_train: bool = True,
         )
     else:
         sampler = InferenceSampler(len(dataset), process_index, process_count)
-    return DataLoader(dataset, local_batch, sampler, seed=max(cfg.seed, 0))
+    buckets = None
+    if is_train and len(cfg.input.multi_train_size) > 1:
+        from .multiscale import make_buckets
+
+        buckets = make_buckets(cfg)
+    return DataLoader(dataset, local_batch, sampler, seed=max(cfg.seed, 0), buckets=buckets)

@@ -58,6 +58,7 @@ def encode_at_bucket(
     cfg: Config,
     bucket: ScaleBucket,
     img_id: str = "000000",
+    is_train: bool = True,
 ) -> EncodedSample:
     """Resize the scene so it fits the bucket, then encode at the bucket's
     static input shape."""
@@ -65,4 +66,6 @@ def encode_at_bucket(
     scale = min(bucket.width / img_w, bucket.height / img_h)
     if abs(scale - 1.0) > 1e-6:
         img, objs, calib = resize_scene(img, objs, calib, scale)
-    return encode_targets(img, objs, calib, bucket.cfg_for(cfg), img_id=img_id)
+    return encode_targets(
+        img, objs, calib, bucket.cfg_for(cfg), img_id=img_id, is_train=is_train
+    )

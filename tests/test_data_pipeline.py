@@ -181,3 +181,140 @@ class TestFileDataset:
         assert batch["images"].shape[0] == 2
         assert batch["hm"].shape == (2, 1, cfg.output_height, cfg.output_width)
         assert len(batch["img_ids"]) == 2
+
+
+class TestDeterministicLoader:
+    def _collect(self, loader, n):
+        out = []
+        it = iter(loader)
+        for _ in range(n):
+            out.append(next(it))
+        # close the generator so worker threads stop
+        it.close()
+        return out
+
+    def test_loader_reproducible_across_runs(self, cfg, fake_kitti_root):
+        """Batch n must be identical run-to-run regardless of worker timing
+        (round-1 weakness: shared-iterator pulls made composition
+        timing-dependent)."""
+        import dataclasses
+
+        cfg2 = dataclasses.replace(
+            cfg, solver=dataclasses.replace(cfg.solver, ims_per_batch=2)
+        )
+        a = self._collect(make_data_loader(cfg2, fake_kitti_root, is_train=True), 6)
+        b = self._collect(make_data_loader(cfg2, fake_kitti_root, is_train=True), 6)
+        for x, y in zip(a, b):
+            assert x["img_ids"] == y["img_ids"]
+            np.testing.assert_array_equal(x["images"], y["images"])
+            np.testing.assert_array_equal(x["hm"], y["hm"])
+
+    def test_loader_resume_continues_stream(self, cfg, fake_kitti_root):
+        """start_batch=k must produce exactly batches k.. of the full
+        stream (reference resume semantics; round-1 restarted the stream)."""
+        import dataclasses
+
+        cfg2 = dataclasses.replace(
+            cfg, solver=dataclasses.replace(cfg.solver, ims_per_batch=2)
+        )
+        full = self._collect(make_data_loader(cfg2, fake_kitti_root, is_train=True), 6)
+        resumed_loader = make_data_loader(cfg2, fake_kitti_root, is_train=True)
+        resumed_loader.start_batch = 3
+        resumed = self._collect(resumed_loader, 3)
+        for x, y in zip(full[3:], resumed):
+            assert x["img_ids"] == y["img_ids"]
+            np.testing.assert_array_equal(x["images"], y["images"])
+
+
+class TestMultiScale:
+    def test_buckets_drive_batch_shapes(self, cfg, fake_kitti_root):
+        """With INPUT.MULTI_TRAIN_SIZE set, every batch is encoded at one of
+        the static buckets and both buckets occur (reference RandomResize +
+        MULTI_TRAIN_SIZE, augmentations.py:89-132, defaults.py:64)."""
+        import dataclasses
+
+        sizes = ((640, 192), (320, 96))
+        cfg2 = dataclasses.replace(
+            cfg,
+            input=dataclasses.replace(cfg.input, multi_train_size=sizes),
+            solver=dataclasses.replace(cfg.solver, ims_per_batch=2),
+        )
+        loader = make_data_loader(cfg2, fake_kitti_root, is_train=True)
+        assert len(loader.buckets) == 2
+        seen = set()
+        it = iter(loader)
+        for _ in range(8):
+            batch = next(it)
+            h, w = batch["images"].shape[1:3]
+            assert (w, h) in sizes
+            # heatmap follows the bucket at down_ratio 4
+            assert batch["hm"].shape[2:] == (h // 4, w // 4)
+            seen.add((w, h))
+        it.close()
+        assert seen == set(sizes)
+
+    def test_bucket_schedule_process_independent(self, cfg, fake_kitti_root):
+        """All processes must pick the same bucket for the same batch
+        (mandatory for SPMD: shapes are global)."""
+        import dataclasses
+
+        sizes = ((640, 192), (320, 96))
+        cfg2 = dataclasses.replace(
+            cfg,
+            input=dataclasses.replace(cfg.input, multi_train_size=sizes),
+            solver=dataclasses.replace(cfg.solver, ims_per_batch=2),
+        )
+        l0 = make_data_loader(cfg2, fake_kitti_root, is_train=True)
+        l1 = make_data_loader(cfg2, fake_kitti_root, is_train=True)
+        assert [l0._bucket_for(n) for n in range(64)] == [
+            l1._bucket_for(n) for n in range(64)
+        ]
+
+    def test_train_step_across_buckets(self, fake_kitti_root):
+        """E2E smoke: the jitted train step compiles and runs at two bucket
+        shapes with finite losses."""
+        import dataclasses
+
+        import jax
+
+        from dcd_tpu.engine.train import create_train_state, make_train_step
+
+        base = dgde_run_config()
+        tiny = dataclasses.replace(
+            base,
+            input=dataclasses.replace(
+                base.input,
+                height_train=64,
+                width_train=96,
+                multi_train_size=((96, 64), (64, 32)),
+            ),
+            datasets=dataclasses.replace(base.datasets, max_objects=6),
+            solver=dataclasses.replace(base.solver, ims_per_batch=2),
+            model=dataclasses.replace(
+                base.model,
+                head=dataclasses.replace(
+                    base.model.head, num_channel=16, pairs_topk=64
+                ),
+                backbone=dataclasses.replace(
+                    base.model.backbone, channels=(4, 8, 8, 8, 8, 8)
+                ),
+            ),
+        )
+        loader = make_data_loader(tiny, fake_kitti_root, is_train=True)
+        model, state = create_train_state(tiny, jax.random.PRNGKey(0))
+        step = jax.jit(make_train_step(tiny, model))
+        seen = {}
+        it = iter(loader)
+        for _ in range(8):
+            batch = next(it)
+            shape = batch["images"].shape
+            if shape in seen:
+                continue
+            batch.pop("img_ids")
+            state, logs = step(state, batch)
+            assert np.isfinite(float(logs["total_loss"])), shape
+            seen[shape] = float(logs["total_loss"])
+            if len(seen) == 2:
+                break
+        it.close()
+        assert len(seen) == 2, seen
