@@ -15,8 +15,9 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..config import Config
-from .dla import DLASeg
-from .predictor import Predictor
+from ..utils.registry import BACKBONES, PREDICTOR
+from . import dla as _dla  # noqa: F401  (registers 'dla34')
+from . import predictor as _predictor  # noqa: F401  (registers 'Base_Predictor')
 
 
 class KeypointDetector(nn.Module):
@@ -32,20 +33,15 @@ class KeypointDetector(nn.Module):
         edge_len: Optional[jnp.ndarray] = None,
         train: bool = True,
     ) -> Dict[str, jnp.ndarray]:
-        bb = self.cfg.model.backbone
-        features = DLASeg(
-            levels=bb.levels,
-            channels=bb.channels,
-            down_ratio=bb.down_ratio,
-            last_level=bb.last_level,
-            axis_name=self.axis_name,
-            dtype=self.dtype,
-            dcn_impl=getattr(bb, "dcn_impl", "auto"),
-            dcn_radius=getattr(bb, "dcn_radius", 3),
-            name="backbone",
-            # train passed positionally: remat's static_argnums only covers
-            # positional args
-        )(images.astype(self.dtype), train)
-        return Predictor(self.cfg, axis_name=self.axis_name, dtype=self.dtype, name="heads")(
-            features, edge_indices, edge_len, train=train
+        # registry dispatch by cfg names (reference make_predictor,
+        # detector_predictor.py:205-207; backbone by CONV_BODY)
+        backbone = BACKBONES[self.cfg.model.backbone.conv_body](
+            self.cfg, axis_name=self.axis_name, dtype=self.dtype, name="backbone"
         )
+        heads = PREDICTOR[self.cfg.model.head.predictor](
+            self.cfg, axis_name=self.axis_name, dtype=self.dtype, name="heads"
+        )
+        # train passed positionally: remat's static_argnums only covers
+        # positional args
+        features = backbone(images.astype(self.dtype), train)
+        return heads(features, edge_indices, edge_len, train=train)

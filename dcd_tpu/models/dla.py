@@ -282,3 +282,24 @@ class DLASeg(nn.Module):
     @property
     def out_channels(self) -> int:
         return self.channels[int(np.log2(self.down_ratio))]
+
+
+# registry dispatch (reference registers its predictor the same way,
+# detector_predictor.py:18; backbone naming follows MODEL.BACKBONE.CONV_BODY)
+from ..utils.registry import BACKBONES  # noqa: E402
+
+
+@BACKBONES.register("dla34")
+def build_dla34(cfg, axis_name=None, dtype=jnp.float32, name="backbone"):
+    bb = cfg.model.backbone
+    return DLASeg(
+        levels=bb.levels,
+        channels=bb.channels,
+        down_ratio=bb.down_ratio,
+        last_level=bb.last_level,
+        axis_name=axis_name,
+        dtype=dtype,
+        dcn_impl=bb.dcn_impl,
+        dcn_radius=bb.dcn_radius,
+        name=name,
+    )

@@ -85,9 +85,10 @@ class DCN(nn.Module):
     padding: int = 1
     dilation: int = 1
     # 'auto' picks per backend: 'gather' on CPU (exact, fast there, tiny
-    # graph) and 'dense' on TPU (gather-free windowed form — XLA gathers
-    # scalarize on TPU). 'pallas' = VMEM-staged dense window kernel
-    # (stride-1 only).
+    # graph); on TPU the VMEM-staged Pallas dense-window kernel for the
+    # stride-1 3x3 case (the whole DLA decoder — measured 39.7 vs 31.9
+    # img/s full-model over the XLA 'dense' windowed form), 'dense'
+    # otherwise.
     impl: str = "auto"
     window_radius: int = 3
     dtype: Any = jnp.float32
@@ -120,7 +121,12 @@ class DCN(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
         impl = self.impl
         if impl == "auto":
-            impl = "gather" if jax.default_backend() == "cpu" else "dense"
+            if jax.default_backend() == "cpu":
+                impl = "gather"
+            elif self.stride == 1 and (kh, kw) == (3, 3):
+                impl = "pallas"
+            else:
+                impl = "dense"
         if impl == "plain":
             # diagnostic lower bound: ignore offsets/mask, ordinary conv
             return (

@@ -197,3 +197,13 @@ class Predictor(nn.Module):
             "cls": sigmoid_hm(output_cls).astype(jnp.float32),
             "reg": output_reg.astype(jnp.float32),
         }
+
+
+# registry dispatch (reference detector_predictor.py:18,205-207:
+# @registry.PREDICTOR.register("Base_Predictor") + make_predictor lookup)
+from ..utils.registry import PREDICTOR  # noqa: E402
+
+
+@PREDICTOR.register("Base_Predictor")
+def build_base_predictor(cfg, axis_name=None, dtype=jnp.float32, name="heads"):
+    return Predictor(cfg, axis_name=axis_name, dtype=dtype, name=name)

@@ -24,7 +24,11 @@ class Registry(dict):
         self[module_name] = module
 
 
-# framework-level registries (reference model/registry.py:3-5)
+# framework-level registries (reference model/registry.py:3-5; the
+# reference also defines HEADS but never registers into it, so it is not
+# carried here). Builders register at import time in models/dla.py and
+# models/predictor.py; KeypointDetector dispatches through these by the
+# cfg names (MODEL.BACKBONE.CONV_BODY / MODEL.HEAD.PREDICTOR, matching
+# reference detector_predictor.py:18,206).
 BACKBONES = Registry()
-HEADS = Registry()
 PREDICTOR = Registry()

@@ -112,3 +112,63 @@ def draw_heatmap(image: np.ndarray, heatmap: np.ndarray, alpha: float = 0.5):
     hm_img = Image.fromarray(hm).resize(img.size, Image.BILINEAR)
     red = Image.merge("RGB", (hm_img, Image.new("L", img.size, 0), Image.new("L", img.size, 0)))
     return Image.blend(img, red, alpha)
+
+
+def gt_rows_from_objects(objs) -> np.ndarray:
+    """Convert parsed KITTI ``Object3d`` labels into det-row layout
+    ([cls, alpha, box2d(4), h, w, l, x, y, z, ry, score]) so GT can be
+    drawn through the same paths as predictions."""
+    rows = []
+    for o in objs:
+        if getattr(o, "type", "DontCare") == "DontCare":
+            continue
+        rows.append([
+            0.0, o.alpha, *np.asarray(o.box2d, np.float64),
+            o.h, o.w, o.l, *np.asarray(o.t, np.float64), o.ry, 1.0,
+        ])
+    return np.asarray(rows, np.float64).reshape(-1, 14)
+
+
+def render_scene(
+    image: np.ndarray,
+    dets: np.ndarray,
+    valid: np.ndarray,
+    calib: Calibration,
+    gt_rows: Optional[np.ndarray] = None,
+    heatmap: Optional[np.ndarray] = None,
+    kpts_2d: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """Full debug panel (reference show_image_with_boxes,
+    visualize_infer.py:190-321): the image with prediction wireframes
+    (green) and GT wireframes (red), keypoints, plus the BEV footprint
+    panel on the right and an optional class-heatmap overlay strip on
+    top. Returns an RGB uint8 array sized to the composed panel."""
+    from PIL import Image
+
+    img = draw_detections(image, dets, valid, calib, kpts_2d=kpts_2d)
+    if gt_rows is not None and len(gt_rows):
+        img = draw_detections(
+            np.asarray(img), gt_rows, np.ones(len(gt_rows), bool), calib,
+            color=(230, 60, 60),
+        )
+    bev = draw_bev(dets, valid, gt_dets=gt_rows)
+    H = img.size[1]
+    bev = bev.resize((int(bev.size[0] * H / bev.size[1]), H))
+    panel = Image.new("RGB", (img.size[0] + bev.size[0], H), (0, 0, 0))
+    panel.paste(img, (0, 0))
+    panel.paste(bev, (img.size[0], 0))
+    if heatmap is not None:
+        hm = draw_heatmap(image, heatmap)
+        strip = Image.new("RGB", (panel.size[0], H + hm.size[1]), (0, 0, 0))
+        strip.paste(hm, (0, 0))
+        strip.paste(panel, (0, hm.size[1]))
+        panel = strip
+    return np.asarray(panel)
+
+
+def save_scene_visualization(path: str, *args, **kwargs) -> None:
+    """Render and write one scene panel as PNG (reference plt.imsave,
+    visualize_infer.py:312)."""
+    from PIL import Image
+
+    Image.fromarray(render_scene(*args, **kwargs)).save(path)

@@ -106,3 +106,55 @@ def test_detector_train_mode_updates_batch_stats(small_cfg):
     new = jax.tree.leaves(mutated["batch_stats"])
     diffs = [float(np.abs(np.asarray(a) - np.asarray(b)).max()) for a, b in zip(old, new)]
     assert max(diffs) > 0
+
+
+def test_offset_capture_tool(tiny_cfg_factory=None):
+    """tools/offset_stats.collect_offsets must find every DCN module's
+    offset conv; at zero init all offsets are exactly zero (so the default
+    dense-window radius is trivially faithful at the start of training)."""
+    import dataclasses
+    import importlib.util
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from dcd_tpu.config import dgde_run_config
+    from dcd_tpu.engine.train import create_train_state
+
+    spec = importlib.util.spec_from_file_location(
+        "offset_stats",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "offset_stats.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    base = dgde_run_config()
+    cfg = dataclasses.replace(
+        base,
+        input=dataclasses.replace(base.input, height_train=64, width_train=96),
+        datasets=dataclasses.replace(base.datasets, max_objects=4),
+        model=dataclasses.replace(
+            base.model,
+            head=dataclasses.replace(base.model.head, num_channel=16, pairs_topk=16),
+            backbone=dataclasses.replace(base.model.backbone, channels=(4, 8, 8, 8, 8, 8)),
+        ),
+    )
+    model, state = create_train_state(cfg, jax.random.PRNGKey(0))
+    H, W = cfg.input.height_train, cfg.input.width_train
+    L = (H // 4 + W // 4) * 2
+    offs = mod.collect_offsets(
+        model,
+        {"params": state.params, "batch_stats": state.batch_stats},
+        jnp.ones((1, H, W, 3), jnp.float32),
+        jnp.zeros((1, L, 2), jnp.int32),
+        jnp.ones((1,), jnp.int32),
+    )
+    # the DLA decoder carries 6 DCN modules (3 DLAUp nodes x proj+node
+    # pairs + ida_up, reference dla_dcn.py:412-465)
+    assert len(offs) >= 6, sorted(offs)
+    for name, off in offs.items():
+        assert off.shape[-1] == 18, (name, off.shape)
+        assert float(np.abs(off).max()) == 0.0, name  # zero-init
+    rows = mod.report(offs)
+    assert all(r["frac>|3|"] == 0.0 for r in rows)

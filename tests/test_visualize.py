@@ -40,3 +40,35 @@ def test_draw_heatmap():
     hm = np.random.RandomState(0).rand(96, 320).astype(np.float32)
     out = draw_heatmap(img, hm)
     assert out.size == (img.shape[1], img.shape[0])
+
+
+def test_render_scene_panel():
+    """Full debug panel (reference show_image_with_boxes,
+    visualize_infer.py:190-321): pred + GT wireframes, BEV strip on the
+    right, optional heatmap strip on top."""
+    from dcd_tpu.utils.visualize import gt_rows_from_objects, render_scene
+
+    img, objs, calib = make_scene(seed=2, num_objs=4)
+    dets = _fake_dets()
+    gt_rows = gt_rows_from_objects(objs)
+    assert gt_rows.shape[1] == 14 and len(gt_rows) > 0
+    panel = render_scene(img, dets, np.array([True, True, True]), calib, gt_rows=gt_rows)
+    assert panel.ndim == 3 and panel.shape[2] == 3
+    assert panel.shape[1] > img.shape[1]  # BEV appended on the right
+    hm = np.random.RandomState(0).rand(img.shape[0] // 4, img.shape[1] // 4)
+    panel2 = render_scene(
+        img, dets, np.array([True] * 3), calib, gt_rows=gt_rows, heatmap=hm
+    )
+    assert panel2.shape[0] > panel.shape[0]  # heatmap strip stacked on top
+
+
+def test_save_scene_visualization(tmp_path):
+    from dcd_tpu.utils.visualize import save_scene_visualization
+
+    img, objs, calib = make_scene(seed=3)
+    dets = _fake_dets()
+    p = str(tmp_path / "000001.png")
+    save_scene_visualization(p, img, dets, np.array([True] * 3), calib)
+    from PIL import Image
+
+    assert Image.open(p).size[0] > 0
