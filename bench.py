@@ -20,7 +20,7 @@ def main():
         "--dcn_impl", default=None,
         help="override backbone dcn impl: dense | pallas | gather | plain",
     )
-    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--batch", type=int, default=64)
     args = ap.parse_args()
 
     import jax
