@@ -11,6 +11,51 @@ import time
 import numpy as np
 
 
+def _realistic_offsets(variables):
+    """Perturb every zero-init ``conv_offset_mask`` so it emits offsets with
+    trained-checkpoint statistics.
+
+    The adaptive Pallas DCN kernel skips window positions outside the
+    per-tile offset bounds; with the module's zero init the bounds collapse
+    and the bench would measure an unrealistically easy case. Trained
+    offsets (docs/OFFSET_STATS.md) have std ~0.3 px and p99.9 ~2.3 px at the
+    worst module; we inject a per-channel bias draw of std 0.45 plus kernel
+    noise sized for ~0.3 px of spatial variation — at or above the trained
+    regime, so the measured number is honest-to-pessimistic.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    seed = [0]
+
+    def visit(tree):
+        for name, sub in tree.items():
+            if name == "conv_offset_mask":
+                k = sub["kernel"]
+                b = sub["bias"]
+                n3k = b.shape[0]
+                n_off = 2 * n3k // 3  # offset channels; rest are mask logits
+                fan_in = k.shape[0] * k.shape[1] * k.shape[2]
+                kb, kk = jax.random.split(jax.random.PRNGKey(seed[0]))
+                seed[0] += 1
+                bias_noise = 0.45 * jax.random.normal(kb, (n_off,), b.dtype)
+                sub["bias"] = b.at[:n_off].add(bias_noise)
+                kern_noise = (0.3 / fan_in**0.5) * jax.random.normal(
+                    kk, (*k.shape[:3], n_off), k.dtype
+                )
+                sub["kernel"] = k.at[..., :n_off].add(kern_noise)
+            elif isinstance(sub, dict):
+                visit(sub)
+
+    import flax
+
+    params = flax.core.unfreeze(variables)["params"]
+    visit(params)
+    out = dict(flax.core.unfreeze(variables))
+    out["params"] = params
+    return out
+
+
 def main():
     import argparse
     import os
@@ -62,6 +107,7 @@ def main():
     variables = jax.jit(
         lambda r, im, ei, el: model.init(r, im, ei, el, train=False)
     )(rng, images[:1], edge_idx[:1], edge_len[:1])
+    variables = _realistic_offsets(variables)
 
     calib_P = jnp.asarray(np.tile(KITTI_P2[None], (batch, 1, 1)), jnp.float32)
     pad_size = jnp.asarray(np.tile([[19.0, 4.0]], (batch, 1)), jnp.float32)
