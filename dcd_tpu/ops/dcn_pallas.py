@@ -161,12 +161,194 @@ def _kernel(x_ref, off_ref, mask_ref, w_ref, b_ref, out_ref, row_ref, acc_ref, *
     out_ref[0] = out.reshape(TH, Wo, Cout).astype(out_ref.dtype)
 
 
+def _kernel_p2(
+    xe_ref, xo_ref, off_e_ref, off_o_ref, mask_e_ref, mask_o_ref, w_ref, b_ref,
+    out_ref, row_ref, acc_ref, *, R, TH, G2, Cout, kh, kw, adaptive,
+):
+    """Lane-packed (pack=2) variant of :func:`_kernel` for C == 64.
+
+    At C=64 the plain kernel pads channels to the 128-lane register and
+    idles half the VPU on every window FMA — and the C=64 modules are the
+    decoder's *hottest* (the two final-IDAUp node convs run at the full
+    stride-4 96x320 map). Packing two horizontally adjacent pixels into
+    one 128-lane register (lanes [0:64] = even pixel, [64:128] = odd)
+    halves the FMA and VMEM-read work of the window walk.
+
+    Two packed stagings of x cover both parities of the window shift
+    (xe[g] = pixels (2g, 2g+1); xo[g] = (2g+1, 2g+2)); the shift parity is
+    static, so each unrolled horizontal slice picks one of them. The
+    bilinear coefficient / mask planes are built per parity and joined on
+    the lane dim; the tap matmul uses a block-diagonal kron(I2, W_k) so
+    both packed halves contract in one MXU call.
+    """
+    dtype = jnp.float32
+    off_e = off_e_ref[0]  # (TH, G2, 2K)
+    off_o = off_o_ref[0]
+    msk_e = mask_e_ref[0]  # (TH, G2, K)
+    msk_o = mask_o_ref[0]
+    K = kh * kw
+    win = 2 * R + 2
+
+    def pack(pe, po):
+        return jnp.concatenate(
+            [
+                jnp.broadcast_to(pe[..., None], (TH, G2, 64)),
+                jnp.broadcast_to(po[..., None], (TH, G2, 64)),
+            ],
+            axis=-1,
+        )
+
+    out_acc = jnp.zeros((TH * G2, 2 * Cout), jnp.float32)
+    for k in range(K):
+        i, j = divmod(k, kw)
+        dy_e = jnp.clip(off_e[..., 2 * k], -R, R)
+        dx_e = jnp.clip(off_e[..., 2 * k + 1], -R, R)
+        dy_o = jnp.clip(off_o[..., 2 * k], -R, R)
+        dx_o = jnp.clip(off_o[..., 2 * k + 1], -R, R)
+        iy_e, ix_e = jnp.floor(dy_e), jnp.floor(dx_e)
+        iy_o, ix_o = jnp.floor(dy_o), jnp.floor(dx_o)
+        fy_e, fx_e = dy_e - iy_e, dx_e - ix_e
+        fy_o, fx_o = dy_o - iy_o, dx_o - ix_o
+
+        acc_ref[:] = jnp.zeros((TH, G2, 128), dtype)
+
+        if adaptive:
+            a_lo = jnp.minimum(jnp.min(iy_e), jnp.min(iy_o)).astype(jnp.int32)
+            a_hi = jnp.maximum(jnp.max(iy_e), jnp.max(iy_o)).astype(jnp.int32) + 1
+            b_lo = jnp.minimum(jnp.min(ix_e), jnp.min(ix_o)).astype(jnp.int32)
+            b_hi = jnp.maximum(jnp.max(ix_e), jnp.max(ix_o)).astype(jnp.int32) + 1
+        else:
+            a_lo = b_lo = jnp.int32(-R)
+            a_hi = b_hi = jnp.int32(R + 1)
+
+        def a_body(ai, carry):
+            a = ai - R
+            wy = pack(
+                (jnp.where(iy_e == a, 1.0 - fy_e, 0.0) + jnp.where(iy_e == a - 1, fy_e, 0.0)).astype(dtype),
+                (jnp.where(iy_o == a, 1.0 - fy_o, 0.0) + jnp.where(iy_o == a - 1, fy_o, 0.0)).astype(dtype),
+            )
+            y0 = (i - (kh // 2)) + a + R + 1
+
+            def v_pass():
+                row_ref[:] = jnp.zeros((TH, G2, 128), dtype)
+                for bb in range(-R, R + 2):
+                    wx = pack(
+                        (jnp.where(ix_e == bb, 1.0 - fx_e, 0.0) + jnp.where(ix_e == bb - 1, fx_e, 0.0)).astype(dtype),
+                        (jnp.where(ix_o == bb, 1.0 - fx_o, 0.0) + jnp.where(ix_o == bb - 1, fx_o, 0.0)).astype(dtype),
+                    )
+                    x0 = (j - (kw // 2)) + bb + R + 1
+                    g0, par = divmod(x0, 2)
+                    src = xo_ref if par else xe_ref
+
+                    def fma():
+                        row_ref[:] = (
+                            row_ref[:]
+                            + wx * src[0, 0, pl.ds(y0, TH), g0 : g0 + G2, :]
+                        )
+
+                    if adaptive:
+                        pl.when((bb >= b_lo) & (bb <= b_hi))(fma)
+                    else:
+                        fma()
+
+                acc_ref[:] = acc_ref[:] + wy * row_ref[:]
+
+            if adaptive:
+                pl.when((a >= a_lo) & (a <= a_hi))(v_pass)
+            else:
+                v_pass()
+            return carry
+
+        jax.lax.fori_loop(0, win, a_body, 0)
+        acc = acc_ref[:] * pack(msk_e[..., k].astype(dtype), msk_o[..., k].astype(dtype))
+        mat_dtype = w_ref.dtype
+        out_acc = out_acc + jnp.dot(
+            acc.reshape(TH * G2, 128).astype(mat_dtype),
+            w_ref[pl.ds(k * 128, 128), :],
+            preferred_element_type=jnp.float32,
+        )
+
+    out = out_acc + b_ref[:].astype(jnp.float32)
+    out_ref[0] = out.reshape(TH, G2, 2 * Cout).astype(out_ref.dtype)
+
+
+def _forward_pallas_p2(x, offset, mask, weight, bias, radius: int, tile_h: int, adaptive: bool):
+    """Packed (2 pixels / 128-lane register) forward for C == 64, stride 1."""
+    B, H, W, C = x.shape
+    kh, kw, _, Cout = weight.shape
+    K = kh * kw
+    Ho, Wo = offset.shape[1], offset.shape[2]
+    assert C == 64 and Wo % 2 == 0
+    R = radius
+    halo = 2 * R + 3
+    G2 = Wo // 2
+    G = G2 + R + 1  # packed groups incl. horizontal halo
+
+    def vmem_estimate(th: int) -> int:
+        x_tiles = 2 * 2 * (th + halo) * G * 128 * 4  # two parities, dbl-buffered
+        offs = 2 * 2 * th * G2 * 2 * K * 4
+        msks = 2 * 2 * th * G2 * K * 4
+        out = 2 * th * G2 * 128 * 2
+        scratch = 2 * th * G2 * 128 * 4
+        return x_tiles + offs + msks + out + scratch
+
+    TH = _pick_tile_h(Ho, tile_h, vmem_estimate, budget=6 * 1024 * 1024)
+    T = Ho // TH
+    xp = jnp.pad(x.astype(jnp.float32), ((0, 0), (R + 1, R + 2), (R + 1, R + 2), (0, 0)))
+    Hp = xp.shape[1]
+    # packed parities: xe[g] = pixels (2g, 2g+1), xo[g] = (2g+1, 2g+2)
+    xe = xp[:, :, : 2 * G].reshape(B, Hp, G, 128)
+    xo = xp[:, :, 1 : 1 + 2 * G].reshape(B, Hp, G, 128)
+    xe_t = _stage_row_tiles(xe, T, TH, halo)
+    xo_t = _stage_row_tiles(xo, T, TH, halo)
+
+    off_e, off_o = offset[:, :, 0::2], offset[:, :, 1::2]
+    msk_e, msk_o = mask[:, :, 0::2].astype(jnp.float32), mask[:, :, 1::2].astype(jnp.float32)
+
+    wk = weight.reshape(K, C, Cout)
+    eye2 = jnp.eye(2, dtype=weight.dtype)
+    w_blk = jax.vmap(lambda w: jnp.kron(eye2, w))(wk).reshape(K * 128, 2 * Cout)
+    b = bias if bias is not None else jnp.zeros((Cout,), x.dtype)
+    bias_2d = jnp.concatenate([b, b]).reshape(1, 2 * Cout)
+
+    kern = functools.partial(
+        _kernel_p2, R=R, TH=TH, G2=G2, Cout=Cout, kh=kh, kw=kw, adaptive=adaptive
+    )
+    out_pk = pl.pallas_call(
+        kern,
+        grid=(B, T),
+        in_specs=[
+            pl.BlockSpec((1, 1, TH + halo, G, 128), lambda b, t: (b, t, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TH + halo, G, 128), lambda b, t: (b, t, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TH, G2, 2 * K), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TH, G2, 2 * K), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TH, G2, K), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TH, G2, K), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # block-diag weights
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # packed bias
+        ],
+        out_specs=pl.BlockSpec(
+            (1, TH, G2, 2 * Cout), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Ho, G2, 2 * Cout), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((TH, G2, 128), jnp.float32),  # row accumulator
+            pltpu.VMEM((TH, G2, 128), jnp.float32),  # window accumulator
+        ],
+        interpret=_interpret(),
+    )(xe_t, xo_t, off_e, off_o, msk_e, msk_o, w_blk, bias_2d)
+    # unpack lanes: (B, Ho, G2, 2*Cout) -> (B, Ho, Wo, Cout)
+    return out_pk.reshape(B, Ho, G2, 2, Cout).reshape(B, Ho, Wo, Cout)
+
+
 def _forward_pallas(x, offset, mask, weight, bias, radius: int, tile_h: int, adaptive: bool = False):
     B, H, W, C = x.shape
     kh, kw, _, Cout = weight.shape
     K = kh * kw
     Ho, Wo = offset.shape[1], offset.shape[2]
     assert Ho == H and Wo == W, "pallas path supports stride=1, padding=kh//2 only"
+    if C == 64 and Wo % 2 == 0:
+        return _forward_pallas_p2(x, offset, mask, weight, bias, radius, tile_h, adaptive)
     R = radius
     halo = 2 * R + 3
 

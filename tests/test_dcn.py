@@ -165,6 +165,41 @@ class TestPallasKernels:
                 rtol=2e-6, atol=2e-6, err_msg=name,
             )
 
+    @pytest.mark.parametrize("adaptive", [False, True])
+    def test_packed_c64_matches_dense(self, adaptive):
+        """The lane-packed (2 pixels / register) forward used for the C=64
+        decoder modules is bit-compatible with the dense oracle, and the
+        dispatching wrapper keeps the Pallas backward kernels correct on
+        the packed path."""
+        from dcd_tpu.ops import dcn_pallas
+        from dcd_tpu.ops.dcn import deform_conv2d_dense
+
+        B, H, W, C, Cout, R = 2, 8, 12, 64, 64, 3
+        x, off, mask, w, b = self._inputs(B, H, W, C, Cout, 1.5)
+        ref = deform_conv2d_dense(x, off, mask, w, b, stride=1, padding=1, radius=R)
+        got = dcn_pallas._forward_pallas_p2(x, off, mask, w, b, R, 4, adaptive)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5
+        )
+
+        g = jnp.asarray(
+            np.random.RandomState(5).randn(B, H, W, Cout).astype(np.float32)
+        )
+        _, vjp_p = jax.vjp(
+            lambda *a: dcn_pallas.deform_conv2d_pallas(*a, R, 4, adaptive),
+            x, off, mask, w, b,
+        )
+        _, vjp_d = jax.vjp(
+            lambda *a: deform_conv2d_dense(*a, stride=1, padding=1, radius=R),
+            x, off, mask, w, b,
+        )
+        for name, a, want in zip(["gx", "goff", "gmask", "gw", "gb"], vjp_p(g), vjp_d(g)):
+            scale = float(jnp.max(jnp.abs(want))) + 1e-9
+            np.testing.assert_allclose(
+                np.asarray(a) / scale, np.asarray(want) / scale,
+                rtol=2e-6, atol=2e-6, err_msg=name,
+            )
+
     def test_xla_fallback_switch(self):
         from dcd_tpu.ops import dcn_pallas
 
