@@ -59,6 +59,17 @@ def _interpret() -> bool:
 # against)
 BACKWARD = "pallas"
 
+# Mosaic's default scoped-VMEM limit is 16 MB out of the chip's 128 MB;
+# the dense-window kernels are VMEM-hungry (halo'd x tiles + per-tap
+# scratch + unrolled-loop stack), and bigger row tiles amortize the halo
+# overlap of the staged tiles — so raise the limit and size the tile
+# budgets against it. The budgets are *modeled* ref bytes; Mosaic's stack
+# temporaries run ~2-3x the model (measured), hence budget << limit.
+VMEM_LIMIT = 64 * 1024 * 1024
+_FWD_BUDGET = 20 * 1024 * 1024
+_BWD_BUDGET = 10 * 1024 * 1024
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT)
+
 
 def _kernel(x_ref, off_ref, mask_ref, w_ref, b_ref, out_ref, row_ref, acc_ref, *, R, TH, Wo, C, Cout, kh, kw, adaptive):
     # the x tile is staged fp32 regardless of model dtype: bf16's packed
@@ -292,7 +303,7 @@ def _forward_pallas_p2(x, offset, mask, weight, bias, radius: int, tile_h: int, 
         scratch = 2 * th * G2 * 128 * 4
         return x_tiles + offs + msks + out + scratch
 
-    TH = _pick_tile_h(Ho, tile_h, vmem_estimate, budget=6 * 1024 * 1024)
+    TH = _pick_tile_h(Ho, tile_h, vmem_estimate, budget=_FWD_BUDGET)
     T = Ho // TH
     xp = jnp.pad(x.astype(jnp.float32), ((0, 0), (R + 1, R + 2), (R + 1, R + 2), (0, 0)))
     Hp = xp.shape[1]
@@ -335,6 +346,7 @@ def _forward_pallas_p2(x, offset, mask, weight, bias, radius: int, tile_h: int, 
             pltpu.VMEM((TH, G2, 128), jnp.float32),  # row accumulator
             pltpu.VMEM((TH, G2, 128), jnp.float32),  # window accumulator
         ],
+        compiler_params=_COMPILER_PARAMS,
         interpret=_interpret(),
     )(xe_t, xo_t, off_e, off_o, msk_e, msk_o, w_blk, bias_2d)
     # unpack lanes: (B, Ho, G2, 2*Cout) -> (B, Ho, Wo, Cout)
@@ -373,7 +385,7 @@ def _forward_pallas(x, offset, mask, weight, bias, radius: int, tile_h: int, ada
     # at TH=4 otherwise)
     # Mosaic's stack temporaries roughly double the modeled usage,
     # so the budget is conservative
-    while TH > 1 and vmem_estimate(TH) > 6 * 1024 * 1024:
+    while TH > 1 and vmem_estimate(TH) > _FWD_BUDGET:
         TH //= 2
         while Ho % TH != 0 and TH > 1:
             TH //= 2
@@ -414,6 +426,7 @@ def _forward_pallas(x, offset, mask, weight, bias, radius: int, tile_h: int, ada
             pltpu.VMEM((TH, Wo, Cpad), jnp.float32),  # row accumulator
             pltpu.VMEM((TH, Wo, Cpad), jnp.float32),  # window accumulator
         ],
+        compiler_params=_COMPILER_PARAMS,
         interpret=_interpret(),
     )(tiles, offset, mask, w_mat, bias_2d)
 
@@ -568,7 +581,7 @@ def _bwd_pom(x, offset, mask, g, weight, radius: int, tile_h: int):
     # tighter budget than forward: the backward carries ~3x the live
     # values (gWk/qk matmul results, three accumulators), which land on
     # Mosaic's stack on top of the modeled refs
-    TH = _pick_tile_h(Ho, tile_h, vmem_estimate, budget=3 * 1024 * 1024)
+    TH = _pick_tile_h(Ho, tile_h, vmem_estimate, budget=_BWD_BUDGET)
     T = Ho // TH
     xp = jnp.pad(
         x.astype(jnp.float32), ((0, 0), (R + 1, R + 2), (R + 1, R + 2), (0, Cpad - C))
@@ -613,6 +626,7 @@ def _bwd_pom(x, offset, mask, g, weight, radius: int, tile_h: int):
             pltpu.VMEM((TH, Wo, Cpad), jnp.float32),  # ds/ddx
             pltpu.VMEM((TH, Wo, Cpad), jnp.float32),  # gW_k
         ],
+        compiler_params=_COMPILER_PARAMS,
         interpret=_interpret(),
     )(tiles, offset, mask, g, w_mat)
     gw = gw.reshape(K, Cpad, Cout)[:, :C, :].reshape(kh, kw, C, Cout)
@@ -703,7 +717,7 @@ def _bwd_x(x_shape, x_dtype, g, offset, mask, weight, radius: int, tile_h: int):
         scratch = hh * Wp * Cpad * 4 + th * W * Cpad * 4
         return g_tiles + off + msk + out + scratch
 
-    TH = _pick_tile_h(H, tile_h, vmem_estimate, budget=4 * 1024 * 1024)
+    TH = _pick_tile_h(H, tile_h, vmem_estimate, budget=_BWD_BUDGET)
     T = H // TH
     # sources padded (R+2) top/left, (R+1) bottom/right — the transpose of
     # the forward x padding. g pads with zeros so out-of-range
@@ -744,6 +758,7 @@ def _bwd_x(x_shape, x_dtype, g, offset, mask, weight, radius: int, tile_h: int):
             pltpu.VMEM((TH, Wp, Cpad), jnp.float32),  # t_k rows for one shift
             pltpu.VMEM((TH, W, Cpad), jnp.float32),  # gx accumulator
         ],
+        compiler_params=_COMPILER_PARAMS,
         interpret=_interpret(),
     )(gp, op, mp, w_mat)
     return gx[..., :C]
