@@ -31,6 +31,29 @@ def normalize_kpts_2d(kpts_2d_img: np.ndarray, P: np.ndarray) -> np.ndarray:
     return out
 
 
+def normalize_batch_kpts(
+    kpts_2d_img: np.ndarray,
+    sample_of_obj: np.ndarray,
+    calib_Ps: Sequence[np.ndarray],
+    per_sample_calib: bool = False,
+) -> np.ndarray:
+    """Normalize a masked batch of object keypoints (M, n, 2) by intrinsics.
+
+    ``per_sample_calib=False`` reproduces the reference quirk of using
+    sample 0's calibration for every object in the batch
+    (detector_loss.py:150: ``calib[0].P``); ``True`` is the corrected mode
+    where object j uses its own sample's P (``sample_of_obj[j]``).
+    """
+    if not per_sample_calib:
+        return normalize_kpts_2d(kpts_2d_img, calib_Ps[0])
+    if len(kpts_2d_img) == 0:
+        return kpts_2d_img.astype(np.float64)
+    return np.stack([
+        normalize_kpts_2d(kp, calib_Ps[int(k)])
+        for kp, k in zip(kpts_2d_img, sample_of_obj)
+    ])
+
+
 class GenDataTrainWriter:
     """Accumulates per-batch training interchange rows (reference
     Loss_Computation.generate_data, detector_loss.py:148-173)."""

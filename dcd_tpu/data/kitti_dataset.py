@@ -238,18 +238,24 @@ class DataLoader:
                 if not slots.acquire(timeout=0.25):
                     continue
                 n = claim()
-                indices = batch_indices(n)
-                if not indices:
-                    q.put((n, None))
+                try:
+                    indices = batch_indices(n)
+                    if not indices:
+                        q.put((n, None))
+                        return
+                    rng = np.random.RandomState((self.seed * 100003 + n) % (2**31))
+                    bucket = self._bucket_for(n)
+                    samples = [
+                        self.dataset.get_sample(i, rng, bucket=bucket) for i in indices
+                    ]
+                    batch = collate(samples)
+                    batch["img_ids"] = [s.img_id for s in samples]
+                    q.put((n, batch))
+                except BaseException as e:  # noqa: BLE001 — re-raised by consumer
+                    # enqueue the claimed slot so the reorder buffer can't
+                    # deadlock waiting for batch n, then stop this worker
+                    q.put((n, e))
                     return
-                rng = np.random.RandomState((self.seed * 100003 + n) % (2**31))
-                bucket = self._bucket_for(n)
-                samples = [
-                    self.dataset.get_sample(i, rng, bucket=bucket) for i in indices
-                ]
-                batch = collate(samples)
-                batch["img_ids"] = [s.img_id for s in samples]
-                q.put((n, batch))
 
         threads = [
             threading.Thread(target=worker, daemon=True) for _ in range(self.num_workers)
@@ -265,6 +271,8 @@ class DataLoader:
                     pending[n] = batch
                 item = pending.pop(want)
                 want += 1
+                if isinstance(item, BaseException):
+                    raise item  # worker failed on this batch (I/O, decode, ...)
                 if item is None:
                     return  # stream exhausted (finite sampler)
                 slots.release()

@@ -123,7 +123,12 @@ class DCN(nn.Module):
         if impl == "auto":
             if jax.default_backend() == "cpu":
                 impl = "gather"
-            elif self.stride == 1 and (kh, kw) == (3, 3):
+            elif (
+                self.stride == 1
+                and (kh, kw) == (3, 3)
+                and self.dilation == 1
+                and self.padding == kh // 2
+            ):
                 impl = "pallas"
             else:
                 impl = "dense"

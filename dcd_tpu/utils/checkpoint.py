@@ -122,7 +122,14 @@ def resolve_checkpoint_source(f: str, cache_dir: Optional[str] = None) -> str:
             os.path.expanduser(os.getenv("TORCH_HOME", "~/.torch")), "models"
         )
         os.makedirs(cache_dir, exist_ok=True)
-        cached = os.path.join(cache_dir, os.path.basename(urlparse(f).path))
+        # disambiguate same-basename URLs with a short hash of the full URL
+        # (torch.hub's cache_url does the equivalent)
+        import hashlib
+
+        tag = hashlib.sha1(f.encode()).hexdigest()[:8]
+        cached = os.path.join(
+            cache_dir, f"{tag}-{os.path.basename(urlparse(f).path)}"
+        )
         if not os.path.exists(cached):
             import shutil
 
@@ -146,7 +153,10 @@ def _read_torch_zip(path: str) -> Dict[str, np.ndarray]:
         "HalfStorage": np.float16, "LongStorage": np.int64,
         "IntStorage": np.int32, "ShortStorage": np.int16,
         "CharStorage": np.int8, "ByteStorage": np.uint8,
-        "BoolStorage": np.bool_, "BFloat16Storage": np.uint16,  # raw bits
+        "BoolStorage": np.bool_,
+        # bf16 has no numpy dtype: read raw uint16 bits, widen to float32
+        # (bits << 16 reinterpreted) at tensor-rebuild time.
+        "BFloat16Storage": "bf16",
     }
 
     zf = zipfile.ZipFile(path)
@@ -175,7 +185,12 @@ def _read_torch_zip(path: str) -> Dict[str, np.ndarray]:
     def _rebuild_tensor_v2(storage, storage_offset, size, stride, *unused):
         _, dtype, key = storage
         raw = storages.setdefault(key, zf.read(f"{root}data/{key}"))
-        arr = np.frombuffer(raw, dtype=dtype)
+        if dtype == "bf16":
+            bits = np.frombuffer(raw, dtype=np.uint16)
+            arr = (bits.astype(np.uint32) << 16).view(np.float32)
+            dtype = np.float32
+        else:
+            arr = np.frombuffer(raw, dtype=dtype)
         itemsize = np.dtype(dtype).itemsize
         return np.lib.stride_tricks.as_strided(
             arr[storage_offset:],

@@ -209,6 +209,33 @@ class TestDeterministicLoader:
             np.testing.assert_array_equal(x["images"], y["images"])
             np.testing.assert_array_equal(x["hm"], y["hm"])
 
+    def test_loader_worker_exception_propagates(self, cfg, fake_kitti_root):
+        """A worker failure (corrupt image, I/O error) must surface in the
+        consumer instead of deadlocking the reorder buffer (ADVICE r2)."""
+        import dataclasses
+
+        cfg2 = dataclasses.replace(
+            cfg, solver=dataclasses.replace(cfg.solver, ims_per_batch=2)
+        )
+        loader = make_data_loader(cfg2, fake_kitti_root, is_train=True)
+
+        boom = RuntimeError("corrupt image")
+        real = loader.dataset.get_sample
+        calls = [0]
+
+        def flaky(i, rng=None, bucket=None):
+            calls[0] += 1
+            if calls[0] > 4:  # fail while producing batch >= 2
+                raise boom
+            return real(i, rng, bucket=bucket)
+
+        loader.dataset.get_sample = flaky
+        it = iter(loader)
+        with pytest.raises(RuntimeError, match="corrupt image"):
+            for _ in range(10):
+                next(it)
+        it.close()
+
     def test_loader_resume_continues_stream(self, cfg, fake_kitti_root):
         """start_batch=k must produce exactly batches k.. of the full
         stream (reference resume semantics; round-1 restarted the stream)."""

@@ -263,6 +263,48 @@ def test_gen_data_roundtrip(tmp_path):
     assert img_idx[0] == ("000007", 0)
 
 
+def test_per_sample_calib_modes():
+    """normalize_batch_kpts: default mode reproduces the reference's
+    calib[0]-for-the-whole-batch quirk (detector_loss.py:150); the corrected
+    mode uses each object's own sample calib."""
+    from dcd_tpu.data.gen_data import normalize_batch_kpts, normalize_kpts_2d
+
+    rng = np.random.RandomState(3)
+    kpts = rng.uniform(0, 1000, size=(4, 5, 2))
+    P0 = np.array([[700.0, 0, 600, 0], [0, 710.0, 170, 0], [0, 0, 1, 0]])
+    P1 = np.array([[725.0, 0, 620, 0], [0, 705.0, 185, 0], [0, 0, 1, 0]])
+    # objects 0,1 from sample 0; objects 2,3 from sample 1
+    sample_of_obj = np.array([0, 0, 1, 1])
+
+    quirk = normalize_batch_kpts(kpts, sample_of_obj, [P0, P1], per_sample_calib=False)
+    np.testing.assert_allclose(quirk, normalize_kpts_2d(kpts, P0))
+
+    fixed = normalize_batch_kpts(kpts, sample_of_obj, [P0, P1], per_sample_calib=True)
+    np.testing.assert_allclose(fixed[:2], normalize_kpts_2d(kpts[:2], P0))
+    np.testing.assert_allclose(fixed[2:], normalize_kpts_2d(kpts[2:], P1))
+    # the two modes genuinely differ for sample-1 objects
+    assert np.abs(fixed[2:] - quirk[2:]).max() > 1e-4
+    # empty mask edge case
+    empty = normalize_batch_kpts(kpts[:0], sample_of_obj[:0], [P0], per_sample_calib=True)
+    assert empty.shape == (0, 5, 2)
+
+
+def test_bf16_checkpoint_fallback_reader(tmp_path):
+    """_read_torch_zip widens bf16 storages to float32 values (not raw
+    uint16 bits) — ADVICE r2 fix."""
+    import torch
+
+    from dcd_tpu.utils.checkpoint import _read_torch_zip
+
+    want = torch.randn(4, 3)
+    sd = {"w": want.to(torch.bfloat16)}
+    p = str(tmp_path / "bf16.pth")
+    torch.save(sd, p)
+    got = _read_torch_zip(p)
+    assert got["w"].dtype == np.float32
+    np.testing.assert_allclose(got["w"], sd["w"].float().numpy())
+
+
 def test_load_torch_checkpoint(tmp_path):
     """The .pth file reader: torch.load path and the dependency-light
     zipfile+pickle fallback must agree; 'module.' prefixes are stripped
@@ -300,7 +342,14 @@ def test_resolve_checkpoint_source(tmp_path):
     assert resolve_checkpoint_source("/x/y.pth") == "/x/y.pth"
     # catalog:// resolves to the reference URL and serves from cache
     # without touching the network when the file is already present
-    cached = tmp_path / "dla34-ba72cf86.pth"
+    # (cache name carries a short URL hash so same-basename URLs don't collide)
+    import hashlib
+
+    from dcd_tpu.utils.checkpoint import MODEL_CATALOG
+
+    url = MODEL_CATALOG["ImageNetPretrained/DLA34"]
+    tag = hashlib.sha1(url.encode()).hexdigest()[:8]
+    cached = tmp_path / f"{tag}-dla34-ba72cf86.pth"
     cached.write_bytes(b"x")
     got = resolve_checkpoint_source(
         "catalog://ImageNetPretrained/DLA34", cache_dir=str(tmp_path)

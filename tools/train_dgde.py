@@ -53,6 +53,12 @@ def parse_args():
         "heatmap) for the first N images to OUTPUT/vis "
         "(reference visualize_infer.show_image_with_boxes)",
     )
+    p.add_argument(
+        "--per_sample_calib", action="store_true",
+        help="with --generate_for_GMW: normalize each sample's keypoints with "
+        "its OWN calibration. Default keeps the reference quirk of using "
+        "sample 0's calib for the whole batch (detector_loss.py:150)",
+    )
     p.add_argument("--seed", type=int, default=0)
     # multi-host
     p.add_argument("--coordinator", default=None)
@@ -213,9 +219,23 @@ def run_eval(cfg, args, model, state, logger):
         return postprocess(cfg, preds, calib_P, pad_size, img_size)
 
     timer = Timer()
+    warmed = False
     for i in sampler:
         s = ds.get_sample(i)
         t = s.targets
+        if not warmed:
+            # throwaway call so jit compile time doesn't pollute the img/s
+            # number (reference times around a pre-compiled CUDA forward,
+            # inference.py:39-46)
+            jax.block_until_ready(infer(
+                jnp.asarray(s.image[None]),
+                jnp.asarray(t["edge_indices"][None]),
+                jnp.asarray(t["edge_len"][None]),
+                jnp.asarray(t["calib_P_full"][None]),
+                jnp.asarray(t["pad_size"][None]),
+                jnp.asarray(t["image_size"][None]),
+            ))
+            warmed = True
         timer.tic()
         out = infer(
             jnp.asarray(s.image[None]),
@@ -275,7 +295,9 @@ def generate_for_gmw(cfg, args, model, state, logger):
     import jax
     import jax.numpy as jnp
 
-    from dcd_tpu.data.gen_data import GenDataInferWriter, GenDataTrainWriter, normalize_kpts_2d
+    from dcd_tpu.data.gen_data import (
+        GenDataInferWriter, GenDataTrainWriter, normalize_batch_kpts, normalize_kpts_2d,
+    )
     from dcd_tpu.data.kitti_dataset import KITTIDataset, make_data_loader
     from dcd_tpu.engine.gen import make_gen_step
     from dcd_tpu.engine.infer import postprocess
@@ -299,9 +321,16 @@ def generate_for_gmw(cfg, args, model, state, logger):
         batch = collate(samples)
         out = gen_step(state.params, state.batch_stats, batch)
         m = np.asarray(out["mask"]).astype(bool)
-        P = samples[0].calib.P
+        # default reproduces the reference quirk (calib[0].P for the whole
+        # batch, detector_loss.py:150); --per_sample_calib corrects it
+        kpts_norm = normalize_batch_kpts(
+            np.asarray(out["kpts_2d_img"])[m],
+            np.where(m.reshape(-1))[0] // gen_cfg.datasets.max_objects,
+            [s.calib.P for s in samples],
+            per_sample_calib=getattr(args, "per_sample_calib", False),
+        )
         writer.add_batch(
-            normalize_kpts_2d(np.asarray(out["kpts_2d_img"])[m], P),
+            kpts_norm,
             np.asarray(out["kpts_3d"])[m],
             np.asarray(out["pred_rot"])[m],
             np.asarray(out["gt_location"])[m],
