@@ -62,7 +62,16 @@ def sinkhorn_forward(
 def _sinkhorn_vjp_dense(P: jnp.ndarray, lmbda: float, v: jnp.ndarray) -> jnp.ndarray:
     """Implicit gradient dJ/dM from dJ/dP (both (b, m, n)).
 
-    Port of gradientFn (optimal_transport.py:75-128) with batched Cholesky.
+    Port of gradientFn (optimal_transport.py:75-128) — but where the
+    reference materializes the full KKT-inverse blocks (Sinv via
+    torch.cholesky_inverse :113-114, then R and Q as n^2 matrices), the VJP
+    only ever applies that inverse to ONE vector per sample. So we solve
+    A @ [u3; u4] = [u1; u2] directly with a single Cholesky of the Schur
+    complement S plus one block-substitution: the O(n^3) matrix-matrix
+    inverse/products collapse to one n^3/3 factorization and O(n^2) solves.
+    At the shipped scale (E = 2628) this is ~4x less FLOPs and drops three
+    (b, n, n) temporaries — the difference between fitting the GMW backward
+    on-chip at batch 8 and not.
     """
     b, m, n = P.shape
     B = lmbda * P
@@ -70,28 +79,32 @@ def _sinkhorn_vjp_dense(P: jnp.ndarray, lmbda: float, v: jnp.ndarray) -> jnp.nda
     d1inv = 1.0 / B.sum(-1)[:, 1:]  # (b, m-1)
     d2 = B.sum(-2)  # (b, n)
     B1 = B[:, 1:, :]  # (b, m-1, n)
-    S = -jnp.einsum("bkn,bk,bkm->bnm", B1, d1inv, B1)
-    S = S + jnp.vectorize(jnp.diag, signature="(n)->(n,n)")(d2)
-
-    chol = jax.vmap(lambda s: jax.scipy.linalg.cho_factor(s, lower=True))
-    solve = jax.vmap(lambda cf, rhs: jax.scipy.linalg.cho_solve((cf, True), rhs))
-    cf, _ = chol(S)
-    Sinv = solve(cf, jnp.broadcast_to(jnp.eye(n, dtype=P.dtype), (b, n, n)))
-
-    R = -jnp.einsum("bkn,bnm->bkm", B1, Sinv) * d1inv[:, :, None]  # (b, m-1, n)
-    Q = -jnp.einsum("bkn,bjn,bj->bkj", R, B1, d1inv)  # (b, m-1, m-1)
-    Q = Q + jnp.vectorize(jnp.diag, signature="(n)->(n,n)")(d1inv)
+    # Schur complement S = D2 - B1^T D1^-1 B1  (sign-flipped vs the
+    # reference's -S; symmetric positive definite either way)
+    S = jnp.einsum(
+        "bkn,bkm->bnm", B1 * d1inv[:, :, None], B1,
+        preferred_element_type=jnp.float32,
+    )
+    S = jnp.vectorize(jnp.diag, signature="(n)->(n,n)")(d2) - S
 
     vHinv = v * hinv  # (b, m*n)
     blocks = vHinv.reshape(b, m, n)
-    u1 = blocks.sum(-1)[:, 1:][:, None, :]  # (b, 1, m-1)
-    u2 = blocks.sum(-2)[:, None, :]  # (b, 1, n)
-    u3 = jnp.matmul(u1, Q) + jnp.matmul(u2, R.transpose(0, 2, 1))  # (b, 1, m-1)
-    u4 = jnp.matmul(u1, R) + jnp.matmul(u2, Sinv)  # (b, 1, n)
-    u5 = jnp.broadcast_to(u3, (b, n, m - 1)).transpose(0, 2, 1) + jnp.broadcast_to(
-        u4, (b, m - 1, n)
-    )
-    uHinv = jnp.concatenate([u4, u5], axis=-2).reshape(b, -1) * hinv
+    u1 = blocks.sum(-1)[:, 1:]  # (b, m-1)
+    u2 = blocks.sum(-2)  # (b, n)
+
+    # block solve of [[D1, B1], [B1^T, D2]] [x1; x2] = [u1; u2]:
+    #   x2 = S^-1 (u2 - B1^T D1^-1 u1);  x1 = D1^-1 (u1 - B1 x2)
+    t = u2 - jnp.einsum("bkn,bk->bn", B1, d1inv * u1)
+    cf, _ = jax.vmap(lambda s: jax.scipy.linalg.cho_factor(s, lower=True))(S)
+    x2 = jax.vmap(
+        lambda f, rhs: jax.scipy.linalg.cho_solve((f, True), rhs)
+    )(cf, t)  # (b, n)
+    x1 = d1inv * (u1 - jnp.einsum("bkn,bn->bk", B1, x2))  # (b, m-1)
+
+    # [u3; u4] rows: row 0 of the (m, n) grid is x2 alone; rows 1..m-1 are
+    # x1_i + x2_j (the reference's u5 assembly, :121-125)
+    u5 = x1[:, :, None] + x2[:, None, :]  # (b, m-1, n)
+    uHinv = jnp.concatenate([x2[:, None, :], u5], axis=-2).reshape(b, -1) * hinv
     return uHinv - vHinv
 
 

@@ -374,7 +374,13 @@ def import_torch_dgde(state_dict: Dict[str, np.ndarray], variables: Dict, cfg):
     the fixed bilinear ``up_k`` ConvTranspose weights are not parameters
     here (BilinearUp is weightless by construction, fill_up_weights
     parity is tested in tests/test_model.py)."""
-    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    # the reference nests the head convs one module deeper
+    # (Detect_Head.predictor, detector_head.py:13); flatten that segment
+    sd = {
+        ("heads." + k[len("heads.predictor."):] if k.startswith("heads.predictor.") else k):
+        np.asarray(v)
+        for k, v in state_dict.items()
+    }
 
     base_sd = {
         k[len("backbone.base."):]: v for k, v in sd.items()

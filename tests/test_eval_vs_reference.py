@@ -1,0 +1,172 @@
+"""Bit-check the AP evaluator against the REFERENCE's own eval.py
+(VERDICT r2 item #6, SURVEY §4(e)).
+
+The reference's evaluator (GMW/evaluation/kitti_object_eval_python/eval.py)
+is numba-jitted; numba is not in this image, but every @numba.jit here is
+semantically a plain Python function — so we stub numba.jit to identity,
+import the reference module from /root/reference, and compare full
+precision/recall/AOS arrays on random canned scenes with DontCare / Van /
+truncation / occlusion edge cases, for metric 0 (bbox), where the overlap
+kernel (image_box_overlap) is pure numba.jit — no numba.cuda needed.
+
+Skipped when /root/reference is not present (e.g. a user checkout).
+"""
+
+import importlib
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+from dcd_tpu.evaluation import kitti_eval
+
+REF_EVAL_DIR = "/root/reference/GMW/evaluation/kitti_object_eval_python"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF_EVAL_DIR), reason="reference tree not available"
+)
+
+
+@pytest.fixture(scope="module")
+def ref_eval():
+    """Import the reference eval.py with numba stubbed to identity."""
+
+    def _identity_jit(*a, **k):
+        if len(a) == 1 and callable(a[0]) and not k:
+            return a[0]
+        return lambda f: f
+
+    if "numba" not in sys.modules or not hasattr(sys.modules["numba"], "__dcd_stub__"):
+        numba = types.ModuleType("numba")
+        numba.__dcd_stub__ = True
+        numba.jit = _identity_jit
+        numba.njit = _identity_jit
+        numba.float32 = np.float32
+        cuda = types.ModuleType("numba.cuda")
+        cuda.jit = _identity_jit
+        cuda.is_available = lambda: False
+        numba.cuda = cuda
+        sys.modules["numba"] = numba
+        sys.modules["numba.cuda"] = cuda
+
+    pkg = types.ModuleType("ref_kitti_eval_pkg")
+    pkg.__path__ = [REF_EVAL_DIR]
+    sys.modules["ref_kitti_eval_pkg"] = pkg
+    return importlib.import_module("ref_kitti_eval_pkg.eval")
+
+
+def _rand_scene(rng: np.random.RandomState):
+    """One random image's (gt_anno, dt_anno) with protocol edge cases:
+    DontCare regions, non-evaluated classes (Van ignored for Car), the
+    40/25-px height thresholds, truncation/occlusion difficulty rules,
+    and detections that straddle real/ignored/spurious."""
+    names = ["Car", "Car", "Car", "Van", "Pedestrian", "Truck", "DontCare"]
+    n_gt = rng.randint(0, 13)
+    gname, gbox, gtrunc, gocc, galpha = [], [], [], [], []
+    for _ in range(n_gt):
+        cls = names[rng.randint(len(names))]
+        x0 = rng.uniform(0, 1100)
+        y0 = rng.uniform(0, 300)
+        # heights straddling the MIN_HEIGHT 40/25 thresholds
+        h = rng.choice([rng.uniform(20, 30), rng.uniform(38, 42), rng.uniform(45, 120)])
+        w = h * rng.uniform(0.8, 2.5)
+        gname.append(cls)
+        gbox.append([x0, y0, x0 + w, y0 + h])
+        gtrunc.append(rng.choice([0.0, 0.1, 0.14, 0.16, 0.31, 0.6]))
+        gocc.append(rng.randint(0, 4))
+        galpha.append(rng.uniform(-np.pi, np.pi))
+    gt = {
+        "name": np.array(gname, dtype="<U12"),
+        "bbox": np.array(gbox, np.float64).reshape(-1, 4),
+        "truncated": np.array(gtrunc, np.float64),
+        "occluded": np.array(gocc, np.int64),
+        "alpha": np.array(galpha, np.float64),
+    }
+
+    dname, dbox, dalpha, dscore = [], [], [], []
+    # detections: perturbed copies of gt boxes (some class-mismatched) ...
+    for i in range(n_gt):
+        if rng.rand() < 0.7:
+            b = np.array(gbox[i]) + rng.uniform(-8, 8, 4)
+            dname.append("Car" if rng.rand() < 0.85 else gname[i])
+            dbox.append(b)
+            dalpha.append(galpha[i] + rng.uniform(-0.3, 0.3))
+            dscore.append(rng.rand())
+    # ... plus pure false positives
+    for _ in range(rng.randint(0, 5)):
+        x0, y0 = rng.uniform(0, 1100), rng.uniform(0, 300)
+        h = rng.uniform(22, 90)
+        dname.append("Car")
+        dbox.append([x0, y0, x0 + h * rng.uniform(1, 2.5), y0 + h])
+        dalpha.append(rng.uniform(-np.pi, np.pi))
+        dscore.append(rng.rand())
+    dt = {
+        "name": np.array(dname, dtype="<U12"),
+        "bbox": np.array(dbox, np.float64).reshape(-1, 4),
+        "alpha": np.array(dalpha, np.float64),
+        "score": np.array(dscore, np.float64),
+        "truncated": np.zeros(len(dname)),
+        "occluded": np.zeros(len(dname), np.int64),
+    }
+    return gt, dt
+
+
+@pytest.fixture(scope="module")
+def scenes():
+    rng = np.random.RandomState(1234)
+    pairs = [_rand_scene(rng) for _ in range(50)]
+    gt_annos = [p[0] for p in pairs]
+    dt_annos = [p[1] for p in pairs]
+    return gt_annos, dt_annos
+
+
+# min_overlaps in the reference layout (num_minoverlap, metric, class):
+# Car bbox thresholds 0.7 (strict) and 0.5 (loose), eval.py:647-653
+MIN_OVERLAPS = np.array([0.7, 0.5]).reshape(2, 1, 1).repeat(3, axis=1)
+
+
+def test_eval_class_bbox_bitwise(ref_eval, scenes):
+    """precision/recall arrays for metric 0 (bbox AP) must match the
+    reference eval_class (eval.py:446-") to float tolerance across all
+    difficulties and both min_overlaps, including AOS."""
+    gt_annos, dt_annos = scenes
+    ours = kitti_eval.eval_class(
+        gt_annos, dt_annos, [0], [0, 1, 2], 0, MIN_OVERLAPS, compute_aos=True
+    )
+    theirs = ref_eval.eval_class(
+        gt_annos, dt_annos, [0], [0, 1, 2], 0, MIN_OVERLAPS, compute_aos=True
+    )
+    for key in ("precision", "recall", "orientation"):
+        np.testing.assert_allclose(
+            ours[key], theirs[key], rtol=0, atol=1e-12, err_msg=key
+        )
+    # the comparison must not be vacuous
+    assert ours["precision"].sum() > 0
+    assert 0 < ours["precision"].max() <= 1.0
+
+
+def test_eval_class_bbox_pedestrian_cyclist(ref_eval, scenes):
+    """Same bit-check for the other evaluated classes (different
+    MIN_HEIGHT/ignore semantics paths)."""
+    gt_annos, dt_annos = scenes
+    mo = np.array([0.5, 0.25]).reshape(2, 1, 1).repeat(3, axis=1).repeat(2, axis=2)
+    ours = kitti_eval.eval_class(gt_annos, dt_annos, [1, 2], [0, 1, 2], 0, mo)
+    theirs = ref_eval.eval_class(gt_annos, dt_annos, [1, 2], [0, 1, 2], 0, mo)
+    np.testing.assert_allclose(ours["precision"], theirs["precision"], rtol=0, atol=1e-12)
+
+
+def test_map_summaries_match(ref_eval, scenes):
+    """R11 and R40 AP summaries computed from matching precision arrays
+    must agree (get_mAP eval.py:554-566, get_mAP_R40 :561)."""
+    gt_annos, dt_annos = scenes
+    ours = kitti_eval.eval_class(gt_annos, dt_annos, [0], [0, 1, 2], 0, MIN_OVERLAPS)
+    np.testing.assert_allclose(
+        kitti_eval.get_mAP(ours["precision"]),
+        ref_eval.get_mAP(ours["precision"]), rtol=0, atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        kitti_eval.get_mAP_R40(ours["precision"]),
+        ref_eval.get_mAP_R40(ours["precision"]), rtol=0, atol=1e-12,
+    )

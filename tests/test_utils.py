@@ -523,11 +523,18 @@ def _make_torch_dgde(ch=(4, 8, 16, 16, 32, 32), head_conv=16, classes=1,
                     torch_nn.Conv1d(head_conv, outc, 1),
                 ))
 
+    class TDetectHead(torch_nn.Module):
+        # the reference nests the predictor one level deeper
+        # (Detect_Head.predictor, detector_head.py:13)
+        def __init__(self):
+            super().__init__()
+            self.predictor = THeads()
+
     class TDetector(torch_nn.Module):
         def __init__(self):
             super().__init__()
             self.backbone = TBackbone()
-            self.heads = THeads()
+            self.heads = TDetectHead()
 
     return TDetector().eval()
 
@@ -590,15 +597,15 @@ def test_import_torch_dgde_full_model(tmp_path):
         sd["backbone.ida_up.node_1.actf.0.running_var"], rtol=1e-6)
     # heads: class, a middle reg group, edge fusion conv1d layout
     np.testing.assert_allclose(
-        params["heads"]["class_out"]["bias"], sd["heads.class_head.3.bias"], rtol=1e-6)
+        params["heads"]["class_out"]["bias"], sd["heads.predictor.class_head.3.bias"], rtol=1e-6)
     gi = 2
     key = cfg.model.head.regression_heads[gi][0]
     np.testing.assert_allclose(
         params["heads"][f"reg_out_{gi}_{key}"]["kernel"],
-        _torch_conv_to_flax(sd[f"heads.reg_heads.{gi}.0.weight"]), rtol=1e-6)
+        _torch_conv_to_flax(sd[f"heads.predictor.reg_heads.{gi}.0.weight"]), rtol=1e-6)
     np.testing.assert_allclose(
         params["heads"]["trunc_offset_conv"]["conv1"]["kernel"],
-        np.transpose(sd["heads.trunc_offset_conv.0.weight"], (2, 1, 0)), rtol=1e-6)
+        np.transpose(sd["heads.predictor.trunc_offset_conv.0.weight"], (2, 1, 0)), rtol=1e-6)
 
     # the permutation preserves semantics: torch reads dy_t = ch[2t] of the
     # raw conv output; the imported flax conv must put that at channel t

@@ -85,6 +85,7 @@ def build_ext(verbose: bool = False):
             os.path.join(src_dir, "cpu/dcn_v2_im2col_cpu.cpp"),
             os.path.join(src_dir, "cpu/dcn_v2_psroi_pooling_cpu.cpp"),
         ],
+        extra_include_paths=[src_dir],
         build_directory=build_dir,
         verbose=verbose,
     )
@@ -154,6 +155,10 @@ def _stub_module(name, **attrs):
     mod = types.ModuleType(name)
 
     def _missing(attr, _name=name):
+        if attr.startswith("__") and attr.endswith("__"):
+            # import machinery probes (__path__, __all__, ...) must see a
+            # normal missing attribute, not a hard failure
+            raise AttributeError(attr)
         raise RuntimeError(
             f"stubbed module {_name!r} attribute {attr!r} was actually used; "
             "the parity path was expected to never call it"
@@ -179,7 +184,12 @@ def install_stubs():
     yc.__dcd_stub__ = True
     yacs.config = yc
 
-    _stub_module("cv2")
+    _stub_module(
+        "cv2",
+        setNumThreads=lambda *a: None,
+        IMREAD_UNCHANGED=-1,
+        LINE_AA=16,
+    )
 
     class _Polygon:  # noqa: D401 — placeholder; never constructed on this path
         def __init__(self, *a, **k):
@@ -193,6 +203,9 @@ def install_stubs():
     roi = _stub_module("torchvision.ops.roi_align")
     tv.ops = ops
     ops.roi_align = roi
+    tvt = _stub_module("torchvision.transforms")
+    tvt.functional = _stub_module("torchvision.transforms.functional")
+    tv.transforms = tvt
 
     def _identity_jit(*a, **k):
         if len(a) == 1 and callable(a[0]) and not k:
@@ -216,6 +229,9 @@ def install_stubs():
         "iopath.common.file_io", PathManager=_PathManager
     )
     _stub_module("tqdm", tqdm=lambda x, **k: x)
+
+    ski = _stub_module("skimage")
+    ski.transform = _stub_module("skimage.transform")
 
 
 # ---------------------------------------------------------------------------
