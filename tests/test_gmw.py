@@ -210,3 +210,35 @@ def test_gmw_data_parallel_8dev():
         np.testing.assert_allclose(
             np.asarray(a) / scale, np.asarray(b) / scale, atol=5e-5
         )
+
+
+def test_gmw_shipped_scale_73kpts():
+    """One full train step at the SHIPPED scale: 73 kpts -> E=2628 edges,
+    the scale the reference runs every training step (GMW/main.py:440-470;
+    Sinkhorn implicit backward over a 2628x2628 Schur complement,
+    optimal_transport.py:104-117). Verifies the whole pipeline — towers,
+    2628^2 cost matrix, Sinkhorn, Cholesky implicit VJP, AdamW — compiles
+    and produces finite decreasing loss at real scale. TPU wall-clock is
+    benched separately (tools/bench_gmw.py: 49 ms/step at batch 8)."""
+    from dcd_tpu.engine.gmw_train import GMWConfig, create_gmw_state, make_gmw_train_step
+
+    cfg = GMWConfig(num_kpts=73, batch_size=2)
+    model, state = create_gmw_state(cfg, jax.random.PRNGKey(0), steps_per_epoch=10)
+    rng = np.random.RandomState(3)
+    B = 2
+    batch = {
+        "kpts_2d": jnp.asarray(rng.randn(B, 73, 2).astype(np.float32) * 0.1),
+        "kpts_3d": jnp.asarray(rng.randn(B, 73, 3).astype(np.float32)),
+        "pred_rot": jnp.asarray(rng.randn(B).astype(np.float32)),
+        "gt_depth": jnp.asarray(10.0 + rng.rand(B).astype(np.float32) * 40),
+    }
+    step = jax.jit(make_gmw_train_step(cfg, model), donate_argnums=(0,))
+    one = jnp.float32(1.0)
+    state, logs0 = step(state, batch, one, one)
+    l0 = float(logs0["loss"])
+    assert np.isfinite(l0)
+    for _ in range(3):
+        state, logs = step(state, batch, one, one)
+    l3 = float(logs["loss"])
+    assert np.isfinite(l3)
+    assert l3 < l0, (l0, l3)
