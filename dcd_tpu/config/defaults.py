@@ -200,6 +200,11 @@ class SolverConfig:
     warmup_steps: int = -1
     grad_norm_clip: float = 15.0
     bias_lr_factor: float = 2.0
+    # adam_onecycle knobs (reference DGDE/config/defaults.py:290-292;
+    # only used when optimizer == "adam_onecycle")
+    moms: Tuple[float, float] = (0.95, 0.85)
+    pct_start: float = 0.4
+    div_factor: float = 10.0
     ims_per_batch: int = 32
     save_checkpoint_interval: int = 1000
     save_checkpoint_epoch_interval: float = 5.0

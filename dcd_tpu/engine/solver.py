@@ -21,6 +21,8 @@ from ..config import Config
 
 def make_lr_schedule(cfg: Config, iters_per_epoch: int):
     s = cfg.solver
+    if s.optimizer == "adam_onecycle":
+        return make_onecycle_schedules(cfg)[0]
     base_lr = s.base_lr
     warmup_steps = s.warmup_steps if s.lr_warmup else 0
     decay_steps = [int(e * iters_per_epoch) for e in s.decay_epoch_steps]
@@ -40,6 +42,43 @@ def make_lr_schedule(cfg: Config, iters_per_epoch: int):
         return jnp.where(step < warmup_steps, warm, main)
 
     return schedule
+
+
+def _annealing_cos(start, end, pct):
+    """Cosine anneal start->end as pct goes 0->1
+    (learning_schedules_fastai.py:53-57)."""
+    return end + (start - end) / 2.0 * (jnp.cos(jnp.pi * pct) + 1.0)
+
+
+def make_onecycle_schedules(cfg: Config):
+    """(lr_schedule, momentum_schedule) for the reference's OneCycle policy
+    (learning_schedules_fastai.py:61-85): cosine ramp lr_max/div_factor ->
+    lr_max over the first pct_start of MAX_ITERATION steps, then cosine
+    decay to low_lr/1e4; momentum runs the mirror cycle moms[0] -> moms[1]
+    -> moms[0]."""
+    s = cfg.solver
+    T = int(s.max_iteration)
+    a1 = int(s.pct_start * T)
+    low_lr = s.base_lr / s.div_factor
+    m0, m1 = s.moms
+
+    def lr(step):
+        step = jnp.asarray(step, jnp.float32)
+        p1 = step / max(a1, 1)
+        p2 = (step - a1) / max(T - a1, 1)
+        up = _annealing_cos(low_lr, s.base_lr, p1)
+        down = _annealing_cos(s.base_lr, low_lr / 1e4, p2)
+        return jnp.where(step >= a1, down, up)
+
+    def mom(step):
+        step = jnp.asarray(step, jnp.float32)
+        p1 = step / max(a1, 1)
+        p2 = (step - a1) / max(T - a1, 1)
+        up = _annealing_cos(m0, m1, p1)
+        down = _annealing_cos(m1, m0, p2)
+        return jnp.where(step >= a1, down, up)
+
+    return lr, mom
 
 
 def _bias_mask(params, is_bias: bool):
@@ -93,6 +132,20 @@ def build_optimizer(cfg: Config, params, iters_per_epoch: int) -> optax.Gradient
         )
         return optax.multi_transform(
             {"frozen": optax.set_to_zero(), "live": inner}, labels
+        )
+    if s.optimizer == "adam_onecycle":
+        # fastai OptimWrapper path (solver/__init__.py:45-58): plain Adam
+        # betas=(mom, 0.99) with the momentum itself cycled by the OneCycle
+        # schedule, true_wd decoupled decay scaled by lr, and NO bias LR
+        # group (get_layer_groups lumps the whole model together).
+        lr_sched, mom_sched = make_onecycle_schedules(cfg)
+        return optax.chain(
+            clip,
+            optax.inject_hyperparams(
+                lambda b1: optax.scale_by_adam(b1=b1, b2=0.99)
+            )(b1=mom_sched),
+            optax.add_decayed_weights(s.weight_decay),
+            optax.scale_by_schedule(lambda t: -lr_sched(t)),
         )
     if s.bias_lr_factor != 1.0:
         labels = jax.tree_util.tree_map_with_path(

@@ -70,13 +70,25 @@ def main():
     args = ap.parse_args()
 
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    import jax
+
+    # the axon TPU plugin's sitecustomize force-sets jax_platforms to
+    # "axon,cpu" regardless of the env var; pin CPU — TPU fp32 matmuls
+    # run as bf16 passes and would drown the comparison in ~3e-3 noise
+    jax.config.update("jax_platforms", "cpu")
 
     import torch
 
     import refbridge
 
     # ----- reference side -----------------------------------------------
-    overrides = {"DATASETS.TEST_SPLIT": "test"}  # light prepare_targets path
+    overrides = {
+        "DATASETS.TEST_SPLIT": "test",  # light prepare_targets path
+        # random weights score ~sigmoid(focal bias) ~= 0.01 — at the shipped
+        # 0.2 threshold both sides emit 0 rows and the row diff is vacuous.
+        # Drop the threshold so the postprocessors produce real rows.
+        "TEST.DETECTIONS_THRESHOLD": 0.0,
+    }
     if args.height:
         overrides["INPUT.HEIGHT_TRAIN"] = args.height
     if args.width:
@@ -90,7 +102,6 @@ def main():
     # ----- our side: config + weight import ------------------------------
     import dataclasses
 
-    import jax
     import jax.numpy as jnp
 
     from dcd_tpu.config import dgde_run_config
@@ -99,6 +110,11 @@ def main():
     from dcd_tpu.utils.checkpoint import import_torch_dgde, load_torch_checkpoint
 
     cfg = dgde_run_config()
+    # mirror the reference-side TEST.DETECTIONS_THRESHOLD=0.0 override so
+    # the postprocessed-row comparison is non-vacuous on random weights
+    cfg = dataclasses.replace(
+        cfg, test=dataclasses.replace(cfg.test, detections_threshold=0.0)
+    )
     if args.height or args.width:
         cfg = dataclasses.replace(
             cfg, input=dataclasses.replace(
@@ -170,7 +186,7 @@ def main():
     print(f"[ours] forward done: cls{ocls.shape} reg{oreg.shape}")
 
     # ----- compare maps ----------------------------------------------------
-    from dcd_tpu.ops.nms import Converter_key2channel
+    from dcd_tpu.models.predictor import Converter_key2channel
 
     k2c = Converter_key2channel(
         cfg.model.head.regression_heads, cfg.model.head.regression_channels
