@@ -235,25 +235,56 @@ def main():
         jnp.asarray(t["image_size"][None]),
     )
     ours_valid = np.asarray(out["valid"]).reshape(-1).astype(bool)
+    np.savez(os.path.join(refbridge.SCRATCH, "rows.npz"),
+             ours=np.asarray(out["dets"]).reshape(-1, 14),
+             valid=ours_valid, ref=rresult)
     # rows already in the reference layout:
     # [cls, alpha, box2d(4), dims hwl(3), locs(3), roty, score]
     orows = np.asarray(out["dets"]).reshape(-1, 14)[ours_valid]
     lines += ["", f"## Postprocessed rows: ours {orows.shape[0]} vs ref {rresult.shape[0]}", ""]
-    row_stats = {}
-    if orows.shape[0] == rresult.shape[0] and orows.shape[0] > 0:
-        a = orows[np.argsort(-orows[:, -1])]
-        b = rresult[np.argsort(-rresult[:, -1])]
-        fields = {
-            "cls": (0, 1), "alpha": (1, 2), "box2d": (2, 6), "dims": (6, 9),
-            "loc_xy": (9, 11), "depth": (11, 12), "roty": (12, 13), "score": (13, 14),
-        }
-        for name, (lo, hi) in fields.items():
-            row_stats[name] = float(np.abs(a[:, lo:hi] - b[:, lo:hi]).max())
-            lines.append(f"- {name}: max|Δ| = {row_stats[name]:.3e}")
+    rows_ok = orows.shape[0] == rresult.shape[0] and orows.shape[0] > 0
+    if rows_ok:
+        # With random weights the heatmap is near-uniform: adjacent top-50
+        # scores differ by ~1e-9 (with exact ties), so the two sides pick
+        # overlapping-but-not-identical pixel sets and rank-order
+        # comparison is meaningless. Match detections by box CENTER
+        # (unambiguous) and demand the matched rows' decoded fields agree —
+        # that checks the decode math (box/dims/orientation/edge-depth/
+        # rescoring) end-to-end; the unmatched remainder is tie-flips.
+        a, b = orows, rresult
+        ca = (a[:, 2:4] + a[:, 4:6]) / 2
+        cb = (b[:, 2:4] + b[:, 4:6]) / 2
+        D = np.linalg.norm(ca[:, None] - cb[None], axis=-1)
+        match = D.argmin(1)
+        good = D.min(1) < 1.0
+        n_matched = int(good.sum())
+        lines.append(f"- center-matched rows: {n_matched}/{len(a)} "
+                     "(remainder = top-K tie-flips on ~1e-9 score gaps)")
+        row_worst = 0.0
+        if n_matched:
+            am, bm = a[good], b[match[good]]
+            fields = {
+                "alpha": (1, 2), "box2d": (2, 6), "dims": (6, 9),
+                "loc_xy": (9, 11), "depth": (11, 12), "roty": (12, 13),
+                "score": (13, 14),
+            }
+            for name, (lo, hi) in fields.items():
+                dmax = float(np.abs(am[:, lo:hi] - bm[:, lo:hi]).max())
+                row_worst = max(row_worst, dmax)
+                lines.append(f"- {name}: max|Δ| = {dmax:.3e}")
+            # col 0: the reference emits fractional cls = topk_ind/K
+            # (select_topk, layers/utils.py:61-101) that downstream code
+            # truncates to int; compare after truncation
+            cls_ok = np.array_equal(am[:, 0].astype(int), bm[:, 0].astype(int))
+            lines.append(f"- cls (after the reference's fractional-cls "
+                         f"truncation quirk): {'EQUAL' if cls_ok else 'MISMATCH'}")
+            rows_ok = n_matched >= len(a) // 2 and row_worst < 1e-3 and cls_ok
+        else:
+            rows_ok = False
     else:
         lines.append("- ROW COUNT MISMATCH (see map diffs above)")
 
-    ok = worst < args.tol_maps and orows.shape[0] == rresult.shape[0]
+    ok = worst < args.tol_maps and rows_ok
     lines += ["", f"**worst map rel err: {worst:.3e} (tolerance {args.tol_maps:.0e}) — "
               + ("PASS" if ok else "FAIL") + "**"]
     with open(args.report, "w") as f:
