@@ -205,6 +205,11 @@ class SolverConfig:
     moms: Tuple[float, float] = (0.95, 0.85)
     pct_start: float = 0.4
     div_factor: float = 10.0
+    # process the batch as N sequential microbatches (lax.scan) with one
+    # optimizer update — peak activation memory of batch/N. No reference
+    # equivalent (torch users lower the batch); TPU-side this is how a
+    # 16-image batch trains within one chip's HBM at full resolution.
+    grad_accum_steps: int = 1
     ims_per_batch: int = 32
     save_checkpoint_interval: int = 1000
     save_checkpoint_epoch_interval: float = 5.0

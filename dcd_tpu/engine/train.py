@@ -125,19 +125,16 @@ def create_train_state(cfg: Config, rng, iters_per_epoch: int = 1000) -> Tuple[K
     return model, state
 
 
-def make_train_step(cfg: Config, model: KeypointDetector, iters_per_epoch: int = 1000):
-    """Returns a jittable (state, batch) -> (state, logs) function.
+def make_grad_fn(cfg: Config, model: KeypointDetector):
+    """(params, batch_stats, batch) -> ((total, (new_batch_stats, logs)), grads).
 
-    Under jit with the batch sharded over the mesh's ``data`` axis, the
-    global-batch loss mean makes XLA insert the gradient all-reduce, and
-    BatchNorm's global-batch moments give SyncBN semantics.
-    """
-    schedule = make_lr_schedule(cfg, iters_per_epoch)
+    The single-microbatch gradient unit shared by the plain and
+    gradient-accumulated train steps (and usable as a test oracle)."""
 
-    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+    def grad_one(params, batch_stats, batch):
         def forward(params, images, edge_indices, edge_len):
             return model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
+                {"params": params, "batch_stats": batch_stats},
                 images,
                 edge_indices,
                 edge_len,
@@ -158,7 +155,54 @@ def make_train_step(cfg: Config, model: KeypointDetector, iters_per_epoch: int =
             total, loss_dict, log_dict = compute_losses(cfg, preds, batch)
             return total, (mutated["batch_stats"], log_dict)
 
-        (total, (new_bs, logs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        return jax.value_and_grad(loss_fn, has_aux=True)(params)
+
+    return grad_one
+
+
+def make_train_step(cfg: Config, model: KeypointDetector, iters_per_epoch: int = 1000):
+    """Returns a jittable (state, batch) -> (state, logs) function.
+
+    Under jit with the batch sharded over the mesh's ``data`` axis, the
+    global-batch loss mean makes XLA insert the gradient all-reduce, and
+    BatchNorm's global-batch moments give SyncBN semantics.
+
+    With ``cfg.solver.grad_accum_steps = A > 1`` the batch is processed as
+    A sequential microbatches under ``lax.scan``, gradients averaged in
+    the carry, and ONE optimizer update applied — peak activation memory
+    is that of batch/A. Equal-size microbatches make the averaged grad
+    identical to the full-batch grad up to BN: batch moments are per
+    microbatch (classic DDP-without-SyncBN semantics; the running stats
+    see A momentum updates per step).
+    """
+    schedule = make_lr_schedule(cfg, iters_per_epoch)
+    accum = max(int(getattr(cfg.solver, "grad_accum_steps", 1)), 1)
+    grad_one = make_grad_fn(cfg, model)
+
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        if accum == 1:
+            (total, (new_bs, logs)), grads = grad_one(
+                state.params, state.batch_stats, batch
+            )
+        else:
+            micro = jax.tree.map(
+                lambda x: x.reshape(accum, x.shape[0] // accum, *x.shape[1:]),
+                batch,
+            )
+            zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+
+            def body(carry, mb):
+                bs, gacc = carry
+                (t, (bs2, lg)), g = grad_one(state.params, bs, mb)
+                gacc = jax.tree.map(lambda a, b: a + b / accum, gacc, g)
+                return (bs2, gacc), (t, lg)
+
+            (new_bs, grads), (totals, logs_stack) = jax.lax.scan(
+                body, (state.batch_stats, zero_grads), micro
+            )
+            total = totals.mean()
+            logs = jax.tree.map(lambda x: x.mean(0), logs_stack)
+
         new_state = state.apply_gradients(grads=grads, batch_stats=new_bs)
         logs = dict(logs)
         logs["total_loss"] = total

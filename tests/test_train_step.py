@@ -128,3 +128,59 @@ def test_data_parallel_8dev(cfg):
     p_sh = jax.tree.leaves(new_state_sh.params)[0]
     p_1 = jax.tree.leaves(new_state_1.params)[0]
     np.testing.assert_allclose(np.asarray(p_sh), np.asarray(p_1), rtol=1e-3, atol=1e-5)
+
+
+def test_grad_accum_matches_microbatch_oracle(cfg):
+    """grad_accum_steps=2 must reproduce the manual composition exactly:
+    grad on microbatch 0 with the incoming BN stats, grad on microbatch 1
+    with the updated stats, average the two grads, apply ONE optimizer
+    update. (Full-batch-BN equivalence is NOT claimed — batch moments are
+    per-microbatch, as the make_train_step docstring states; a tiny config
+    makes that loss difference several percent, by design.)"""
+    from dcd_tpu.engine.train import create_train_state, make_grad_fn, make_train_step
+
+    model, state = create_train_state(cfg, jax.random.PRNGKey(0))
+    batch = _make_batch(cfg, n=4)
+    batch = {k: jnp.asarray(v) for k, v in batch.items() if not isinstance(v, list)}
+
+    cfg2 = dataclasses.replace(
+        cfg, solver=dataclasses.replace(cfg.solver, grad_accum_steps=2)
+    )
+    step2 = jax.jit(make_train_step(cfg2, model))
+    s2, logs2 = step2(state, batch)
+
+    # oracle: same microbatch split as the scan (contiguous halves)
+    grad_fn = jax.jit(make_grad_fn(cfg, model))
+    mb0 = {k: v[:2] for k, v in batch.items()}
+    mb1 = {k: v[2:] for k, v in batch.items()}
+    (t0, (bs1, _)), g0 = grad_fn(state.params, state.batch_stats, mb0)
+    (t1, (bs2, _)), g1 = grad_fn(state.params, bs1, mb1)
+    grads = jax.tree.map(lambda a, b: a / 2 + b / 2, g0, g1)
+    oracle = state.apply_gradients(grads=grads, batch_stats=bs2)
+
+    import optax
+
+    np.testing.assert_allclose(
+        float(logs2["total_loss"]), (float(t0) + float(t1)) / 2, rtol=1e-5
+    )
+    # the accumulated grads must equal the oracle's averaged grads
+    np.testing.assert_allclose(
+        float(logs2["grad_norm"]), float(optax.global_norm(grads)), rtol=1e-5
+    )
+    # BN running stats carry through the scan exactly (pure data path)
+    for a, b in zip(
+        jax.tree.leaves(s2.batch_stats), jax.tree.leaves(oracle.batch_stats)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        )
+    # Params only loosely: Adam's first-step update for near-zero gradients
+    # is sign(g)-like, so fusion-level (~1e-9) grad noise between the two
+    # XLA programs flips it by up to ±lr on zero-init leaves. |Adam update|
+    # <= ~lr, so the two programs can differ at most ~2*lr per element;
+    # anything beyond that is a real accumulation bug.
+    lr = float(logs2["lr"])
+    for a, b in zip(jax.tree.leaves(s2.params), jax.tree.leaves(oracle.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=2.5 * lr
+        )

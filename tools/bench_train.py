@@ -33,6 +33,12 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--rounds", type=int, default=3)
     ap.add_argument("--dcn_impl", default=None)
+    ap.add_argument("--remat", action="store_true",
+                    help="jax.checkpoint the forward (recompute in backward) "
+                    "— batch 16 at full size is at the HBM edge otherwise")
+    ap.add_argument("--no_donate", action="store_true")
+    ap.add_argument("--accum", type=int, default=1,
+                    help="gradient-accumulation microbatch count")
     args = ap.parse_args()
 
     import jax
@@ -50,7 +56,11 @@ def main():
     from dcd_tpu.engine.train import create_train_state, make_train_step
 
     cfg = dgde_run_config()
-    cfg = dataclasses.replace(cfg, model=dataclasses.replace(cfg.model, fp16=True))
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(cfg.model, fp16=True, remat=args.remat),
+        solver=dataclasses.replace(cfg.solver, grad_accum_steps=args.accum),
+    )
     if args.dcn_impl:
         cfg = dataclasses.replace(
             cfg,
@@ -76,7 +86,10 @@ def main():
     inj = _realistic_offsets({"params": state.params})
     state = state.replace(params=inj["params"])
 
-    step = jax.jit(make_train_step(cfg, model), donate_argnums=(0,))
+    step = jax.jit(
+        make_train_step(cfg, model),
+        donate_argnums=() if args.no_donate else (0,),
+    )
 
     t0 = time.perf_counter()
     state, logs = step(state, batch)
@@ -100,6 +113,8 @@ def main():
         "batch": args.batch,
         "step_sec": round(best, 4),
         "compile_sec": round(compile_s, 1),
+        "remat": args.remat,
+        "grad_accum_steps": args.accum,
         "final_loss": round(float(np.asarray(logs["total_loss"])), 4),
     }))
 

@@ -29,6 +29,10 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--pool", type=int, default=64)
     ap.add_argument("--log_every", type=int, default=10)
+    ap.add_argument("--accum", type=int, default=1,
+                    help="gradient-accumulation microbatches (batch 16 full "
+                    "size needs accum=2 or --remat on this chip's HBM)")
+    ap.add_argument("--remat", action="store_true")
     ap.add_argument("--out_md", default="docs/CONVERGENCE.md")
     ap.add_argument("--out_jsonl", default="docs/convergence_metrics.jsonl")
     args = ap.parse_args()
@@ -49,9 +53,11 @@ def main():
     cfg = dgde_run_config()
     cfg = dataclasses.replace(
         cfg,
-        model=dataclasses.replace(cfg.model, fp16=True, pretrain=False),
+        model=dataclasses.replace(cfg.model, fp16=True, pretrain=False,
+                                  remat=args.remat),
         solver=dataclasses.replace(
-            cfg.solver, lr_warmup=True, warmup_steps=100, base_lr=3e-4
+            cfg.solver, lr_warmup=True, warmup_steps=100, base_lr=3e-4,
+            grad_accum_steps=args.accum,
         ),
     )
 
@@ -84,21 +90,24 @@ def main():
             fh.write(json.dumps(rec) + "\n")
             fh.flush()
             print(f"step {it}: total={rec['total_loss']:.3f} "
-                  f"MAE_edges={rec.get('MAE_edges', float('nan')):.3f}",
+                  f"edges_MAE={rec.get('edges_MAE', float('nan')):.3f}",
                   file=sys.stderr)
             assert np.isfinite(rec["total_loss"]), rec
     fh.close()
     wall = time.perf_counter() - t0
 
     first, last = hist[0], hist[-1]
-    keys = [k for k in last if k.startswith("MAE")] + ["total_loss", "hm_loss"]
+    keys = [k for k in last if k.endswith("_MAE") or k.endswith("IoU")] + [
+        "total_loss", "hm_loss", "depth_loss", "keypoint_loss", "orien_loss",
+    ]
     md = [
         "# CONVERGENCE — full-size synthetic training run",
         "",
         f"`python tools/convergence_run.py --steps {args.steps} --batch "
-        f"{args.batch} --pool {args.pool}` on {jax.devices()[0]}: full "
-        "384x1280 input, shipped head widths, bf16 activations, pretrain "
-        "off. Raw curves: docs/convergence_metrics.jsonl.",
+        f"{args.batch} --accum {args.accum} --pool {args.pool}` on "
+        f"{jax.devices()[0]}: full 384x1280 input, shipped head widths, "
+        "bf16 activations, pretrain off. Raw curves: "
+        "docs/convergence_metrics.jsonl.",
         "",
         f"- wall: {wall:.0f}s for {args.steps} steps "
         f"({args.steps * args.batch / wall:.1f} img/s incl. logging)",

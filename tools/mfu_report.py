@@ -46,7 +46,7 @@ def measure(fn, args, fetch, iters=10, rounds=3):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=64)
-    ap.add_argument("--train_batch", type=int, default=16)
+    ap.add_argument("--train_batch", type=int, default=8)
     ap.add_argument("--out", default="docs/PERF_MFU.json")
     args = ap.parse_args()
 
