@@ -6,10 +6,14 @@ stride-4 module). Here each halo'd row-tile of x is staged once into VMEM
 and the whole 9-tap x (2R+2)^2 window accumulation plus the tap-fused MXU
 matmul run from on-chip memory.
 
-Tiling: overlapping (TILE_H + 2R+3)-row windows of the padded input are
-materialized by XLA as a (B, T, TH+halo, Wp, C) tensor (one extra
-HBM-bandwidth copy, ~1.7x of x) so the standard Pallas pipeline — with its
-automatic double-buffering — streams them; no manual DMA/semaphores needed.
+Tiling: overlapping (TILE_H + 2R+3)-row windows cannot be expressed as
+non-overlapping BlockSpec blocks, so each kernel instance DMAs its own
+halo'd window straight from the padded model-dtype array in HBM
+(``pltpu.make_async_copy``) and casts it to an fp32 VMEM scratch. Earlier
+rounds materialized the overlapping windows via XLA as a
+(B, T, TH+halo, Wp, C) fp32 tensor instead; that cost ~5x the ideal HBM
+traffic (fp32 copy write+read plus the overlap factor) and was the largest
+single term of the model's bytes/image.
 
 The op carries a custom VJP backed by two more Pallas kernels (the
 TPU counterpart of the reference's col2im / col2im_coord CUDA backward,
@@ -71,10 +75,25 @@ _BWD_BUDGET = 10 * 1024 * 1024
 _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT)
 
 
-def _kernel(x_ref, off_ref, mask_ref, w_ref, b_ref, out_ref, row_ref, acc_ref, *, R, TH, Wo, C, Cout, kh, kw, adaptive):
-    # the x tile is staged fp32 regardless of model dtype: bf16's packed
-    # (16,128) tiling has no dynamic sublane slicing; VPU FMAs run at fp32
-    # rate either way, and the matmul casts down to the model dtype
+def _kernel(
+    x_hbm, off_ref, mask_ref, w_ref, b_ref, out_ref,
+    row_ref, acc_ref, xraw_ref, xf_ref, sem,
+    *, R, TH, Wo, C, Cout, kh, kw, adaptive,
+):
+    # x stays in HBM at model dtype; the kernel DMAs its own halo'd row
+    # window into VMEM (overlapping windows can't be expressed as
+    # non-overlapping BlockSpec blocks, and materializing them via XLA
+    # costs ~5x the ideal HBM traffic — measured the largest single term
+    # of the model's bytes/image). The tile is then cast once to an fp32
+    # scratch: bf16's packed (16,128) tiling has no dynamic sublane
+    # slicing; VPU FMAs run at fp32 rate either way, and the matmul casts
+    # down to the model dtype.
+    b_ix = pl.program_id(0)
+    t_ix = pl.program_id(1)
+    dma = pltpu.make_async_copy(x_hbm.at[b_ix, pl.ds(t_ix * TH, xraw_ref.shape[0])], xraw_ref, sem)
+    dma.start()
+    dma.wait()
+    xf_ref[:] = xraw_ref[:].astype(jnp.float32)
     dtype = jnp.float32
     off = off_ref[0]  # (TH, Wo, 2K)
     msk = mask_ref[0]  # (TH, Wo, K)
@@ -140,7 +159,7 @@ def _kernel(x_ref, off_ref, mask_ref, w_ref, b_ref, out_ref, row_ref, acc_ref, *
                     def fma():
                         row_ref[:] = (
                             row_ref[:]
-                            + wx[..., None] * x_ref[0, 0, pl.ds(y0, TH), x0 : x0 + Wo, :]
+                            + wx[..., None] * xf_ref[pl.ds(y0, TH), x0 : x0 + Wo, :]
                         )
 
                     if adaptive:
@@ -173,8 +192,9 @@ def _kernel(x_ref, off_ref, mask_ref, w_ref, b_ref, out_ref, row_ref, acc_ref, *
 
 
 def _kernel_p2(
-    xe_ref, xo_ref, off_e_ref, off_o_ref, mask_e_ref, mask_o_ref, w_ref, b_ref,
-    out_ref, row_ref, acc_ref, *, R, TH, G2, Cout, kh, kw, adaptive,
+    xe_hbm, xo_hbm, off_e_ref, off_o_ref, mask_e_ref, mask_o_ref, w_ref, b_ref,
+    out_ref, row_ref, acc_ref, xe_raw, xo_raw, xe_f, xo_f, sems,
+    *, R, TH, G2, Cout, kh, kw, adaptive,
 ):
     """Lane-packed (pack=2) variant of :func:`_kernel` for C == 64.
 
@@ -192,6 +212,19 @@ def _kernel_p2(
     the lane dim; the tap matmul uses a block-diagonal kron(I2, W_k) so
     both packed halves contract in one MXU call.
     """
+    b_ix = pl.program_id(0)
+    t_ix = pl.program_id(1)
+    rows = xe_raw.shape[0]
+    # both parity stagings stream from HBM in model dtype (see _kernel);
+    # the two DMAs run concurrently on separate semaphores
+    dma_e = pltpu.make_async_copy(xe_hbm.at[b_ix, pl.ds(t_ix * TH, rows)], xe_raw, sems.at[0])
+    dma_o = pltpu.make_async_copy(xo_hbm.at[b_ix, pl.ds(t_ix * TH, rows)], xo_raw, sems.at[1])
+    dma_e.start()
+    dma_o.start()
+    dma_e.wait()
+    dma_o.wait()
+    xe_f[:] = xe_raw[:].astype(jnp.float32)
+    xo_f[:] = xo_raw[:].astype(jnp.float32)
     dtype = jnp.float32
     off_e = off_e_ref[0]  # (TH, G2, 2K)
     off_o = off_o_ref[0]
@@ -249,12 +282,12 @@ def _kernel_p2(
                     )
                     x0 = (j - (kw // 2)) + bb + R + 1
                     g0, par = divmod(x0, 2)
-                    src = xo_ref if par else xe_ref
+                    src = xo_f if par else xe_f
 
                     def fma():
                         row_ref[:] = (
                             row_ref[:]
-                            + wx * src[0, 0, pl.ds(y0, TH), g0 : g0 + G2, :]
+                            + wx * src[pl.ds(y0, TH), g0 : g0 + G2, :]
                         )
 
                     if adaptive:
@@ -295,23 +328,30 @@ def _forward_pallas_p2(x, offset, mask, weight, bias, radius: int, tile_h: int, 
     G2 = Wo // 2
     G = G2 + R + 1  # packed groups incl. horizontal halo
 
+    itemsize = jnp.dtype(x.dtype).itemsize
+
     def vmem_estimate(th: int) -> int:
-        x_tiles = 2 * 2 * (th + halo) * G * 128 * 4  # two parities, dbl-buffered
+        # raw + fp32 staging scratches for both parities (single-buffered:
+        # the kernel DMAs its own window; no pipeline double-buffering)
+        x_stage = 2 * (th + halo) * G * 128 * (4 + itemsize)
         offs = 2 * 2 * th * G2 * 2 * K * 4
         msks = 2 * 2 * th * G2 * K * 4
         out = 2 * th * G2 * 128 * 2
         scratch = 2 * th * G2 * 128 * 4
-        return x_tiles + offs + msks + out + scratch
+        return x_stage + offs + msks + out + scratch
 
     TH = _pick_tile_h(Ho, tile_h, vmem_estimate, budget=_FWD_BUDGET)
     T = Ho // TH
-    xp = jnp.pad(x.astype(jnp.float32), ((0, 0), (R + 1, R + 2), (R + 1, R + 2), (0, 0)))
+    # padded at model dtype; halo'd windows are DMA'd from HBM by the
+    # kernel itself (no materialized overlapping tiles). The packed-group
+    # dim is padded to the 8-sublane tile so HBM DMA slices stay aligned.
+    Gp = -(-G // 8) * 8
+    extra_w = (2 * Gp + 1) - (W + halo)
+    xp = jnp.pad(x, ((0, 0), (R + 1, R + 2), (R + 1, R + 2 + max(extra_w, 0)), (0, 0)))
     Hp = xp.shape[1]
     # packed parities: xe[g] = pixels (2g, 2g+1), xo[g] = (2g+1, 2g+2)
-    xe = xp[:, :, : 2 * G].reshape(B, Hp, G, 128)
-    xo = xp[:, :, 1 : 1 + 2 * G].reshape(B, Hp, G, 128)
-    xe_t = _stage_row_tiles(xe, T, TH, halo)
-    xo_t = _stage_row_tiles(xo, T, TH, halo)
+    xe = xp[:, :, : 2 * Gp].reshape(B, Hp, Gp, 128)
+    xo = xp[:, :, 1 : 1 + 2 * Gp].reshape(B, Hp, Gp, 128)
 
     off_e, off_o = offset[:, :, 0::2], offset[:, :, 1::2]
     msk_e, msk_o = mask[:, :, 0::2].astype(jnp.float32), mask[:, :, 1::2].astype(jnp.float32)
@@ -329,8 +369,8 @@ def _forward_pallas_p2(x, offset, mask, weight, bias, radius: int, tile_h: int, 
         kern,
         grid=(B, T),
         in_specs=[
-            pl.BlockSpec((1, 1, TH + halo, G, 128), lambda b, t: (b, t, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, TH + halo, G, 128), lambda b, t: (b, t, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # xe (HBM; kernel DMAs windows)
+            pl.BlockSpec(memory_space=pl.ANY),  # xo
             pl.BlockSpec((1, TH, G2, 2 * K), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TH, G2, 2 * K), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TH, G2, K), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM),
@@ -345,10 +385,15 @@ def _forward_pallas_p2(x, offset, mask, weight, bias, radius: int, tile_h: int, 
         scratch_shapes=[
             pltpu.VMEM((TH, G2, 128), jnp.float32),  # row accumulator
             pltpu.VMEM((TH, G2, 128), jnp.float32),  # window accumulator
+            pltpu.VMEM((TH + halo, Gp, 128), x.dtype),  # xe DMA landing
+            pltpu.VMEM((TH + halo, Gp, 128), x.dtype),  # xo DMA landing
+            pltpu.VMEM((TH + halo, Gp, 128), jnp.float32),  # xe fp32
+            pltpu.VMEM((TH + halo, Gp, 128), jnp.float32),  # xo fp32
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=_COMPILER_PARAMS,
         interpret=_interpret(),
-    )(xe_t, xo_t, off_e, off_o, msk_e, msk_o, w_blk, bias_2d)
+    )(xe, xo, off_e, off_o, msk_e, msk_o, w_blk, bias_2d)
     # unpack lanes: (B, Ho, G2, 2*Cout) -> (B, Ho, Wo, Cout)
     return out_pk.reshape(B, Ho, G2, 2, Cout).reshape(B, Ho, Wo, Cout)
 
@@ -367,15 +412,17 @@ def _forward_pallas(x, offset, mask, weight, bias, radius: int, tile_h: int, ada
     # lane alignment: pad channels to a 128 multiple (idle lanes otherwise)
     Cpad = ((C + 127) // 128) * 128
 
+    itemsize = jnp.dtype(x.dtype).itemsize
+
     def vmem_estimate(th: int) -> int:
         wp = W + halo
-        x_tiles = 2 * (th + halo) * wp * Cpad * 4  # f32, double-buffered
+        x_stage = (th + halo) * wp * Cpad * (4 + itemsize)  # DMA landing + f32
         off = 2 * th * W * 2 * K * 4
         msk = 2 * th * W * K * 2
         out = 2 * th * W * Cout * 2
         scratch = 2 * th * W * Cpad * 4
         acc = th * W * Cout * 4
-        return x_tiles + off + msk + out + scratch + acc
+        return x_stage + off + msk + out + scratch + acc
 
     TH = tile_h
     while Ho % TH != 0:
@@ -391,12 +438,12 @@ def _forward_pallas(x, offset, mask, weight, bias, radius: int, tile_h: int, ada
             TH //= 2
     assert TH >= 1
     T = Ho // TH
+    # padded at model dtype in HBM; the kernel DMAs halo'd row windows.
+    # Width is padded to the 8-sublane tile so the DMA slices stay aligned.
+    Wp = -(-(W + halo) // 8) * 8
     xp = jnp.pad(
-        x.astype(jnp.float32), ((0, 0), (R + 1, R + 2), (R + 1, R + 2), (0, Cpad - C))
+        x, ((0, 0), (R + 1, R + 2), (R + 1, R + 2 + (Wp - (W + halo))), (0, Cpad - C))
     )
-    Wp = W + halo
-    # overlapping row windows: (B, T, TH+halo, Wp, Cpad)
-    tiles = jnp.stack([xp[:, t * TH : t * TH + TH + halo] for t in range(T)], axis=1)
 
     w_pad = jnp.pad(weight, ((0, 0), (0, 0), (0, Cpad - C), (0, 0)))
     w_mat = w_pad.reshape(K * Cpad, Cout)
@@ -410,9 +457,7 @@ def _forward_pallas(x, offset, mask, weight, bias, radius: int, tile_h: int, ada
         kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(
-                (1, 1, TH + halo, Wp, Cpad), lambda b, t: (b, t, 0, 0, 0), memory_space=pltpu.VMEM
-            ),
+            pl.BlockSpec(memory_space=pl.ANY),  # xp (HBM; kernel DMAs windows)
             pl.BlockSpec((1, TH, Wo, 2 * K), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TH, Wo, K), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # weights
@@ -425,10 +470,13 @@ def _forward_pallas(x, offset, mask, weight, bias, radius: int, tile_h: int, ada
         scratch_shapes=[
             pltpu.VMEM((TH, Wo, Cpad), jnp.float32),  # row accumulator
             pltpu.VMEM((TH, Wo, Cpad), jnp.float32),  # window accumulator
+            pltpu.VMEM((TH + halo, Wp, Cpad), x.dtype),  # x DMA landing
+            pltpu.VMEM((TH + halo, Wp, Cpad), jnp.float32),  # x fp32
+            pltpu.SemaphoreType.DMA,
         ],
         compiler_params=_COMPILER_PARAMS,
         interpret=_interpret(),
-    )(tiles, offset, mask, w_mat, bias_2d)
+    )(xp, offset, mask, w_mat, bias_2d)
 
 
 # ---------------------------------------------------------------------------
@@ -448,15 +496,10 @@ def _pick_tile_h(Ho: int, tile_h: int, vmem_estimate, budget: int = 6 * 1024 * 1
     return TH
 
 
-def _stage_row_tiles(arr, T: int, TH: int, halo: int):
-    """Overlapping (TH + halo)-row windows: (B, T, TH+halo, W, C)."""
-    return jnp.stack([arr[:, t * TH : t * TH + TH + halo] for t in range(T)], axis=1)
-
-
 def _bwd_pom_kernel(
-    x_ref, off_ref, mask_ref, g_ref, w_ref,
+    x_hbm, off_ref, mask_ref, g_ref, w_ref,
     go_ref, gm_ref, gw_ref,
-    row_ref, rgx_ref, s_ref, dsy_ref, dsx_ref, gwk_ref,
+    row_ref, rgx_ref, s_ref, dsy_ref, dsx_ref, gwk_ref, xraw_ref, xf_ref, sem,
     *, R, TH, Wo, C, Cout, kh, kw,
 ):
     """grad_offset / grad_mask / grad_weight for one (batch, row-tile).
@@ -468,6 +511,13 @@ def _bwd_pom_kernel(
     grad_weight accumulates across the sequential grid into one block.
     """
     dtype = jnp.float32
+    # halo'd x window streamed from HBM by the kernel (see _kernel)
+    b_ix = pl.program_id(0)
+    t_ix = pl.program_id(1)
+    dma = pltpu.make_async_copy(x_hbm.at[b_ix, pl.ds(t_ix * TH, xraw_ref.shape[0])], xraw_ref, sem)
+    dma.start()
+    dma.wait()
+    xf_ref[:] = xraw_ref[:].astype(jnp.float32)
     off = off_ref[0]  # (TH, Wo, 2K)
     msk = mask_ref[0]  # (TH, Wo, K)
     g2d = g_ref[0].astype(dtype).reshape(TH * Wo, Cout)
@@ -528,7 +578,7 @@ def _bwd_pom_kernel(
                     + jnp.where(ix == bb - 1, 1.0, 0.0)
                 ).astype(dtype)
                 x0 = (j - (kw // 2)) + bb + R + 1
-                xs = x_ref[0, 0, pl.ds(y0, TH), x0 : x0 + Wo, :]
+                xs = xf_ref[pl.ds(y0, TH), x0 : x0 + Wo, :]
                 row_ref[:] = row_ref[:] + wx[..., None] * xs
                 rgx_ref[:] = rgx_ref[:] + gx[..., None] * xs
             s_ref[:] = s_ref[:] + wy[..., None] * row_ref[:]
@@ -567,26 +617,29 @@ def _bwd_pom(x, offset, mask, g, weight, radius: int, tile_h: int):
     R = radius
     halo = 2 * R + 3
     Cpad = ((C + 127) // 128) * 128
-    Wp = W + halo
+    Wp = -(-(W + halo) // 8) * 8  # 8-sublane aligned for DMA slices
+
+    itemsize = jnp.dtype(x.dtype).itemsize
 
     def vmem_estimate(th: int) -> int:
-        x_tiles = 2 * (th + halo) * Wp * Cpad * 4
+        x_stage = (th + halo) * Wp * Cpad * (4 + itemsize)  # DMA landing + f32
         off = 2 * th * W * 2 * K * 4
         msk = 2 * th * W * K * 4
         gt = 2 * th * W * Cout * 4
         outs = 2 * th * W * (3 * K) * 4 + K * Cpad * Cout * 4
         scratch = 5 * th * W * Cpad * 4
-        return x_tiles + off + msk + gt + outs + scratch
+        return x_stage + off + msk + gt + outs + scratch
 
     # tighter budget than forward: the backward carries ~3x the live
     # values (gWk/qk matmul results, three accumulators), which land on
     # Mosaic's stack on top of the modeled refs
     TH = _pick_tile_h(Ho, tile_h, vmem_estimate, budget=_BWD_BUDGET)
     T = Ho // TH
+    # model-dtype padded x in HBM; kernel DMAs its halo'd window (width
+    # padded to the 8-sublane tile for DMA slice alignment)
     xp = jnp.pad(
-        x.astype(jnp.float32), ((0, 0), (R + 1, R + 2), (R + 1, R + 2), (0, Cpad - C))
+        x, ((0, 0), (R + 1, R + 2), (R + 1, R + 2 + (Wp - (W + halo))), (0, Cpad - C))
     )
-    tiles = _stage_row_tiles(xp, T, TH, halo)
     w_pad = jnp.pad(weight, ((0, 0), (0, 0), (0, Cpad - C), (0, 0)))
     w_mat = w_pad.reshape(K * Cpad, Cout)
 
@@ -597,10 +650,7 @@ def _bwd_pom(x, offset, mask, g, weight, radius: int, tile_h: int):
         kern,
         grid=(B, T),
         in_specs=[
-            pl.BlockSpec(
-                (1, 1, TH + halo, Wp, Cpad), lambda b, t: (b, t, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            pl.BlockSpec(memory_space=pl.ANY),  # xp (HBM; kernel DMAs windows)
             pl.BlockSpec((1, TH, Wo, 2 * K), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TH, Wo, K), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TH, Wo, Cout), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM),
@@ -625,16 +675,20 @@ def _bwd_pom(x, offset, mask, g, weight, radius: int, tile_h: int):
             pltpu.VMEM((TH, Wo, Cpad), jnp.float32),  # ds/ddy
             pltpu.VMEM((TH, Wo, Cpad), jnp.float32),  # ds/ddx
             pltpu.VMEM((TH, Wo, Cpad), jnp.float32),  # gW_k
+            pltpu.VMEM((TH + halo, Wp, Cpad), x.dtype),  # x DMA landing
+            pltpu.VMEM((TH + halo, Wp, Cpad), jnp.float32),  # x fp32
+            pltpu.SemaphoreType.DMA,
         ],
         compiler_params=_COMPILER_PARAMS,
         interpret=_interpret(),
-    )(tiles, offset, mask, g, w_mat)
+    )(xp, offset, mask, g, w_mat)
     gw = gw.reshape(K, Cpad, Cout)[:, :C, :].reshape(kh, kw, C, Cout)
     return go, gm, gw
 
 
 def _bwd_x_kernel(
-    g_ref, off_ref, mask_ref, w_ref, gx_ref, tk_ref, acc_ref,
+    g_hbm, off_hbm, mask_hbm, w_ref, gx_ref,
+    tk_ref, acc_ref, graw_ref, gf_ref, off_ref, mask_ref, sems,
     *, R, TH, W, Wp, C, Cout, kh, kw,
 ):
     """grad_x for one (batch, row-tile), as a transposed gather.
@@ -655,6 +709,22 @@ def _bwd_x_kernel(
     dtype = jnp.float32
     K = kh * kw
     win = 2 * R + 2
+    # halo'd (g, offset, mask) windows streamed from HBM by the kernel
+    # (overlapping windows; see _kernel). g is cast once to fp32; offset
+    # is fp32 already; mask is read through .astype at its use sites.
+    b_ix = pl.program_id(0)
+    t_ix = pl.program_id(1)
+    rows = graw_ref.shape[0]
+    dma_g = pltpu.make_async_copy(g_hbm.at[b_ix, pl.ds(t_ix * TH, rows)], graw_ref, sems.at[0])
+    dma_o = pltpu.make_async_copy(off_hbm.at[b_ix, pl.ds(t_ix * TH, rows)], off_ref, sems.at[1])
+    dma_m = pltpu.make_async_copy(mask_hbm.at[b_ix, pl.ds(t_ix * TH, rows)], mask_ref, sems.at[2])
+    dma_g.start()
+    dma_o.start()
+    dma_m.start()
+    dma_g.wait()
+    dma_o.wait()
+    dma_m.wait()
+    gf_ref[:] = graw_ref[:].astype(jnp.float32)
     acc_ref[:] = jnp.zeros((TH, W, C), dtype)
     for k in range(K):
         i, j = divmod(k, kw)
@@ -664,22 +734,22 @@ def _bwd_x_kernel(
             # source rows p_y = q_y - (a + i - kh//2); halo'd arrays are
             # padded by R+2 on top, so the slice starts at
             y0 = (R + 2) - (a + i - (kh // 2))
-            g_rows = g_ref[0, 0, pl.ds(y0, TH), :, :].astype(dtype)
+            g_rows = gf_ref[pl.ds(y0, TH), :, :]
             tk_ref[:] = jax.lax.dot_general(
                 g_rows.reshape(TH * Wp, Cout), w_ref[pl.ds(k * C, C), :],
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ).reshape(TH, Wp, C) * (
-                mask_ref[0, 0, pl.ds(y0, TH), :, k].astype(dtype)[..., None]
+                mask_ref[pl.ds(y0, TH), :, k].astype(dtype)[..., None]
             )
-            dyr = off_ref[0, 0, pl.ds(y0, TH), :, 2 * k]  # (TH, Wp)
+            dyr = off_ref[pl.ds(y0, TH), :, 2 * k]  # (TH, Wp)
             dy = jnp.clip(dyr, -R, R)
             iy = jnp.floor(dy)
             fy = dy - iy
             wy = (
                 jnp.where(iy == a, 1.0 - fy, 0.0) + jnp.where(iy == a - 1, fy, 0.0)
             ).astype(dtype)
-            dxr = off_ref[0, 0, pl.ds(y0, TH), :, 2 * k + 1]
+            dxr = off_ref[pl.ds(y0, TH), :, 2 * k + 1]
             dx = jnp.clip(dxr, -R, R)
             ix = jnp.floor(dx)
             fx = dx - ix
@@ -706,26 +776,29 @@ def _bwd_x(x_shape, x_dtype, g, offset, mask, weight, radius: int, tile_h: int):
     R = radius
     halo = 2 * R + 3
     Cpad = ((C + 127) // 128) * 128
-    Wp = W + halo
+    Wp = -(-(W + halo) // 8) * 8  # 8-sublane aligned for DMA slices
+    g_itemsize = jnp.dtype(g.dtype).itemsize
 
     def vmem_estimate(th: int) -> int:
         hh = th + halo
-        g_tiles = 2 * hh * Wp * Cout * 4
-        off = 2 * hh * Wp * 2 * K * 4
-        msk = 2 * hh * Wp * K * 4
+        g_stage = hh * Wp * Cout * (4 + g_itemsize)
+        off = hh * Wp * 2 * K * 4
+        msk = hh * Wp * K * jnp.dtype(mask.dtype).itemsize
         out = 2 * th * W * Cpad * 4
         scratch = hh * Wp * Cpad * 4 + th * W * Cpad * 4
-        return g_tiles + off + msk + out + scratch
+        return g_stage + off + msk + out + scratch
 
     TH = _pick_tile_h(H, tile_h, vmem_estimate, budget=_BWD_BUDGET)
     T = H // TH
     # sources padded (R+2) top/left, (R+1) bottom/right — the transpose of
     # the forward x padding. g pads with zeros so out-of-range
     # contributions vanish; offset/mask padding values are then irrelevant.
-    pad = ((0, 0), (R + 2, R + 1), (R + 2, R + 1), (0, 0))
-    gp = _stage_row_tiles(jnp.pad(g.astype(jnp.float32), pad), T, TH, halo)
-    op = _stage_row_tiles(jnp.pad(offset, pad), T, TH, halo)
-    mp = _stage_row_tiles(jnp.pad(mask, pad), T, TH, halo)
+    # Right pad extends to the 8-aligned Wp; halo'd windows are DMA'd from
+    # HBM by the kernel (no materialized overlapping tiles).
+    pad = ((0, 0), (R + 2, R + 1), (R + 2, R + 1 + (Wp - (W + halo))), (0, 0))
+    gp = jnp.pad(g, pad)
+    op = jnp.pad(offset, pad)
+    mp = jnp.pad(mask, pad)
     w_pad = jnp.pad(weight, ((0, 0), (0, 0), (0, Cpad - C), (0, 0)))
     w_mat = w_pad.reshape(K * Cpad, Cout)
 
@@ -736,18 +809,9 @@ def _bwd_x(x_shape, x_dtype, g, offset, mask, weight, radius: int, tile_h: int):
         kern,
         grid=(B, T),
         in_specs=[
-            pl.BlockSpec(
-                (1, 1, TH + halo, Wp, Cout), lambda b, t: (b, t, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 1, TH + halo, Wp, 2 * K), lambda b, t: (b, t, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 1, TH + halo, Wp, K), lambda b, t: (b, t, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            pl.BlockSpec(memory_space=pl.ANY),  # g (HBM; kernel DMAs windows)
+            pl.BlockSpec(memory_space=pl.ANY),  # offset
+            pl.BlockSpec(memory_space=pl.ANY),  # mask
             pl.BlockSpec(memory_space=pltpu.VMEM),  # weights
         ],
         out_specs=pl.BlockSpec(
@@ -757,6 +821,11 @@ def _bwd_x(x_shape, x_dtype, g, offset, mask, weight, radius: int, tile_h: int):
         scratch_shapes=[
             pltpu.VMEM((TH, Wp, Cpad), jnp.float32),  # t_k rows for one shift
             pltpu.VMEM((TH, W, Cpad), jnp.float32),  # gx accumulator
+            pltpu.VMEM((TH + halo, Wp, Cout), g.dtype),  # g DMA landing
+            pltpu.VMEM((TH + halo, Wp, Cout), jnp.float32),  # g fp32
+            pltpu.VMEM((TH + halo, Wp, 2 * K), offset.dtype),  # offset window
+            pltpu.VMEM((TH + halo, Wp, K), mask.dtype),  # mask window
+            pltpu.SemaphoreType.DMA((3,)),
         ],
         compiler_params=_COMPILER_PARAMS,
         interpret=_interpret(),
