@@ -283,10 +283,54 @@ class DataLoader:
                 t.join(timeout=2.0)
 
 
-def make_data_loader(cfg: Config, root: str, is_train: bool = True,
+class ConcatDataset:
+    """Concatenation of several datasets into one index space (the
+    reference trains on ``D.ConcatDataset(datasets)`` when the run config
+    lists multiple datasets, data/build.py:51-54)."""
+
+    def __init__(self, datasets):
+        assert datasets, "ConcatDataset needs at least one dataset"
+        self.datasets = list(datasets)
+        self.cum = []
+        total = 0
+        for d in self.datasets:
+            total += len(d)
+            self.cum.append(total)
+
+    def __len__(self):
+        return self.cum[-1]
+
+    def _locate(self, idx: int):
+        if idx < 0 or idx >= len(self):
+            raise IndexError(idx)
+        lo = 0
+        for di, hi in enumerate(self.cum):
+            if idx < hi:
+                return self.datasets[di], idx - lo
+            lo = hi
+        raise IndexError(idx)  # unreachable
+
+    def get_sample(self, idx: int, rng=None, bucket=None):
+        ds, local = self._locate(idx)
+        return ds.get_sample(local, rng, bucket=bucket)
+
+
+def make_data_loader(cfg: Config, root, is_train: bool = True,
                      process_index: int = 0, process_count: int = 1) -> DataLoader:
-    """World-size-divisible batch split (reference data/build.py:58-128)."""
-    dataset = KITTIDataset(cfg, root, is_train=is_train)
+    """World-size-divisible batch split (reference data/build.py:58-128).
+
+    ``root`` may be a single dataset root or a list/tuple of roots — the
+    latter concatenates the datasets into one training index space
+    (reference build.py:51-54)."""
+    if isinstance(root, (list, tuple)):
+        if len(root) > 1:
+            dataset = ConcatDataset(
+                [KITTIDataset(cfg, r, is_train=is_train) for r in root]
+            )
+        else:
+            dataset = KITTIDataset(cfg, root[0], is_train=is_train)
+    else:
+        dataset = KITTIDataset(cfg, root, is_train=is_train)
     global_batch = cfg.solver.ims_per_batch if is_train else cfg.test.ims_per_batch
     assert global_batch % process_count == 0, (global_batch, process_count)
     local_batch = global_batch // process_count

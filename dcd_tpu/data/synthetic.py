@@ -56,8 +56,13 @@ def make_scene(
     num_objs: int = 6,
     extra_kpts_num: int = 63,
     image_size: Tuple[int, int] = KITTI_IMAGE_SIZE,
+    depth_range: Tuple[float, float] = (8.0, 55.0),
 ) -> Tuple[np.ndarray, List[Object3d], Calibration]:
-    """Returns (HWC uint8 image, objects, calibration)."""
+    """Returns (HWC uint8 image, objects, calibration).
+
+    ``depth_range`` controls object distance — close ranges give large 2-D
+    boxes, needed on small test images where the KITTI difficulty rules
+    would otherwise ignore every GT (MIN_HEIGHT 40/25/25 px)."""
     rng = np.random.RandomState(seed)
     img_w, img_h = image_size
     calib = Calibration(scaled_P(image_size))
@@ -67,7 +72,7 @@ def make_scene(
         h = rng.uniform(1.4, 1.7)
         w = rng.uniform(1.5, 1.8)
         l = rng.uniform(3.4, 4.5)
-        z = rng.uniform(8.0, 55.0)
+        z = rng.uniform(*depth_range)
         x = rng.uniform(-0.8, 0.8) * z * 0.35
         y = 1.65 + rng.uniform(-0.1, 0.1)  # camera height above ground
         ry = rng.uniform(-np.pi, np.pi)

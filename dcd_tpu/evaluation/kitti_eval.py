@@ -479,20 +479,31 @@ def get_official_eval_result(gt_annos, dt_annos, current_classes, metric="R40"):
         gt_annos, dt_annos, current_classes, min_overlaps, compute_aos, metric=metric
     )
 
+    # result string and ret_dict keys mirror the reference exactly
+    # (eval.py:691-727: "Car AP@0.70, 0.70, 0.70:" headers, Car_3d_0.70/easy
+    # key style, bbox keyed as Car_image/*); the {name}_3d_{diff}_R40_{ov}
+    # style keys are kept as extras for the rest of this codebase.
     result = ""
     ret_dict = {}
     for j, curcls in enumerate(current_classes):
         name = CLASS_TO_NAME[curcls]
         for i in range(min_overlaps.shape[0]):
-            result += "{} AP({})@{:.2f}, {:.2f}, {:.2f}:\n".format(
-                name, metric, *min_overlaps[i, :, j]
+            result += "{} AP@{:.2f}, {:.2f}, {:.2f}:\n".format(
+                name, *min_overlaps[i, :, j]
             )
             result += "bbox AP:{:.4f}, {:.4f}, {:.4f}\n".format(*mAPbbox[j, :, i])
             result += "bev  AP:{:.4f}, {:.4f}, {:.4f}\n".format(*mAPbev[j, :, i])
             result += "3d   AP:{:.4f}, {:.4f}, {:.4f}\n".format(*mAP3d[j, :, i])
             if compute_aos:
                 result += "aos  AP:{:.2f}, {:.2f}, {:.2f}\n".format(*mAPaos[j, :, i])
+                if i == 0:
+                    ret_dict[f"{name}_aos/easy"] = mAPaos[j, 0, 0]
+                    ret_dict[f"{name}_aos/moderate"] = mAPaos[j, 1, 0]
+                    ret_dict[f"{name}_aos/hard"] = mAPaos[j, 2, 0]
             for d, diff in enumerate(["easy", "moderate", "hard"]):
+                ret_dict["{}_3d_{:.2f}/{}".format(name, min_overlaps[i, 1, j], diff)] = mAP3d[j, d, i]
+                ret_dict["{}_bev_{:.2f}/{}".format(name, min_overlaps[i, 2, j], diff)] = mAPbev[j, d, i]
+                ret_dict["{}_image/{}".format(name, diff)] = mAPbbox[j, d, 0]
                 ret_dict[f"{name}_3d_{diff}_{'R40' if metric=='R40' else 'R11'}_{min_overlaps[i,2,j]:.2f}"] = mAP3d[j, d, i]
                 ret_dict[f"{name}_bev_{diff}_{'R40' if metric=='R40' else 'R11'}_{min_overlaps[i,1,j]:.2f}"] = mAPbev[j, d, i]
     return result, ret_dict

@@ -51,6 +51,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .dcn import deform_conv2d_dense
 
+# perf probes for tools/bench_dcn.py A/B attribution ONLY (wrong numerics):
+#   "aligned_slice" — replace misaligned sublane slices with aligned ones
+#   "const_coeff"   — replace bilinear coefficient planes with constants
+# Never set in production; guarded by an env var so the default path is
+# untouched.
+import os as _os
+
+_PROBE = _os.environ.get("DCD_DCN_PROBE", "")
+
+# forward walk data layout: "cw" (round-4 channels-on-sublanes kernel) or
+# "wc" (the earlier width-on-sublanes kernels incl. the lane-packed C==64
+# variant) — env-switchable for A/B timing on hardware
+_LAYOUT = _os.environ.get("DCD_DCN_LAYOUT", "cw")
+
 
 def _interpret() -> bool:
     # off-TPU the kernels run in Pallas interpret mode (slow but exact) so
@@ -77,7 +91,7 @@ _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT)
 
 def _kernel(
     x_hbm, off_ref, mask_ref, w_ref, b_ref, out_ref,
-    row_ref, acc_ref, xraw_ref, xf_ref, sem,
+    acc_ref, xraw_ref, xf_ref, sem,
     *, R, TH, Wo, C, Cout, kh, kw, adaptive,
 ):
     # x stays in HBM at model dtype; the kernel DMAs its own halo'd row
@@ -103,8 +117,13 @@ def _kernel(
     win = 2 * R + 2
     for k in range(K):
         i, j = divmod(k, kw)
-        dy = jnp.clip(off[..., 2 * k], -R, R)
-        dx = jnp.clip(off[..., 2 * k + 1], -R, R)
+        # keep the trailing singleton dim: (TH, Wo, 1) stays in the walk's
+        # (sublane=Wo, lane-broadcast) layout, so the per-position coeff
+        # planes multiply into the (TH, Wo, C) FMAs as native lane splats.
+        # A 2-D (TH, Wo) intermediate puts Wo on lanes and costs Mosaic a
+        # relayout per window position (measured: the walk's biggest term).
+        dy = jnp.clip(off[:, :, 2 * k : 2 * k + 1], -R, R)
+        dx = jnp.clip(off[:, :, 2 * k + 1 : 2 * k + 2], -R, R)
         iy = jnp.floor(dy)
         ix = jnp.floor(dx)
         fy = dy - iy
@@ -144,30 +163,32 @@ def _kernel(
             a = ai - R  # window shift in [-R, R+1]
             wy = (
                 jnp.where(iy == a, 1.0 - fy, 0.0) + jnp.where(iy == a - 1, fy, 0.0)
-            ).astype(dtype)
+            ).astype(dtype)  # (TH, Wo, 1)
             y0 = (i - (kh // 2)) + a + R + 1
 
             def v_pass():
-                row_ref[:] = jnp.zeros((TH, Wo, C), dtype)
+                # direct accumulation: the combined coefficient wy*wx is a
+                # thin (TH, Wo, 1) product, so each window position costs
+                # one thin multiply + one lane-broadcast FMA — no separate
+                # row pass / zeroing / per-a merge (measured: coefficient
+                # plumbing, not the FMAs, dominated the walk)
                 for bb in range(-R, R + 2):
                     wx = (
                         jnp.where(ix == bb, 1.0 - fx, 0.0)
                         + jnp.where(ix == bb - 1, fx, 0.0)
-                    ).astype(dtype)
+                    ).astype(dtype)  # (TH, Wo, 1)
                     x0 = (j - (kw // 2)) + bb + R + 1
 
                     def fma():
-                        row_ref[:] = (
-                            row_ref[:]
-                            + wx[..., None] * xf_ref[pl.ds(y0, TH), x0 : x0 + Wo, :]
+                        acc_ref[:] = (
+                            acc_ref[:]
+                            + (wy * wx) * xf_ref[pl.ds(y0, TH), x0 : x0 + Wo, :]
                         )
 
                     if adaptive:
                         pl.when((bb >= b_lo) & (bb <= b_hi))(fma)
                     else:
                         fma()
-
-                acc_ref[:] = acc_ref[:] + wy[..., None] * row_ref[:]
 
             # the loop keeps *static* trip bounds (dynamic trip counts stop
             # Mosaic unrolling the body — measured slower than no gating at
@@ -193,7 +214,7 @@ def _kernel(
 
 def _kernel_p2(
     xe_hbm, xo_hbm, off_e_ref, off_o_ref, mask_e_ref, mask_o_ref, w_ref, b_ref,
-    out_ref, row_ref, acc_ref, xe_raw, xo_raw, xe_f, xo_f, sems,
+    out_ref, acc_ref, xe_raw, xo_raw, xe_f, xo_f, sems,
     *, R, TH, G2, Cout, kh, kw, adaptive,
 ):
     """Lane-packed (pack=2) variant of :func:`_kernel` for C == 64.
@@ -234,10 +255,14 @@ def _kernel_p2(
     win = 2 * R + 2
 
     def pack(pe, po):
+        # pe/po arrive as (TH, G2, 1): single-lane arrays in the walk's
+        # sublane-major layout, so the 64-lane broadcasts are native lane
+        # splats (a 2-D (TH, G2) input would sit lane-major and need a
+        # relayout per call — measured as the p2 walk's biggest term)
         return jnp.concatenate(
             [
-                jnp.broadcast_to(pe[..., None], (TH, G2, 64)),
-                jnp.broadcast_to(po[..., None], (TH, G2, 64)),
+                jnp.broadcast_to(pe, (TH, G2, 64)),
+                jnp.broadcast_to(po, (TH, G2, 64)),
             ],
             axis=-1,
         )
@@ -245,10 +270,10 @@ def _kernel_p2(
     out_acc = jnp.zeros((TH * G2, 2 * Cout), jnp.float32)
     for k in range(K):
         i, j = divmod(k, kw)
-        dy_e = jnp.clip(off_e[..., 2 * k], -R, R)
-        dx_e = jnp.clip(off_e[..., 2 * k + 1], -R, R)
-        dy_o = jnp.clip(off_o[..., 2 * k], -R, R)
-        dx_o = jnp.clip(off_o[..., 2 * k + 1], -R, R)
+        dy_e = jnp.clip(off_e[:, :, 2 * k : 2 * k + 1], -R, R)
+        dx_e = jnp.clip(off_e[:, :, 2 * k + 1 : 2 * k + 2], -R, R)
+        dy_o = jnp.clip(off_o[:, :, 2 * k : 2 * k + 1], -R, R)
+        dx_o = jnp.clip(off_o[:, :, 2 * k + 1 : 2 * k + 2], -R, R)
         iy_e, ix_e = jnp.floor(dy_e), jnp.floor(dx_e)
         iy_o, ix_o = jnp.floor(dy_o), jnp.floor(dx_o)
         fy_e, fx_e = dy_e - iy_e, dx_e - ix_e
@@ -267,35 +292,49 @@ def _kernel_p2(
 
         def a_body(ai, carry):
             a = ai - R
-            wy = pack(
-                (jnp.where(iy_e == a, 1.0 - fy_e, 0.0) + jnp.where(iy_e == a - 1, fy_e, 0.0)).astype(dtype),
-                (jnp.where(iy_o == a, 1.0 - fy_o, 0.0) + jnp.where(iy_o == a - 1, fy_o, 0.0)).astype(dtype),
-            )
+            # thin (TH, G2, 1) vertical weights per parity; combined with
+            # the horizontal weights below so each window position costs
+            # two thin multiplies + ONE pack + one FMA (the row-pass /
+            # per-a wy pack / row zeroing structure measured as ~2/3 of
+            # kernel time — see docs/PERF.md round 4)
+            wy_e = (
+                jnp.where(iy_e == a, 1.0 - fy_e, 0.0) + jnp.where(iy_e == a - 1, fy_e, 0.0)
+            ).astype(dtype)
+            wy_o = (
+                jnp.where(iy_o == a, 1.0 - fy_o, 0.0) + jnp.where(iy_o == a - 1, fy_o, 0.0)
+            ).astype(dtype)
             y0 = (i - (kh // 2)) + a + R + 1
 
             def v_pass():
-                row_ref[:] = jnp.zeros((TH, G2, 128), dtype)
                 for bb in range(-R, R + 2):
-                    wx = pack(
-                        (jnp.where(ix_e == bb, 1.0 - fx_e, 0.0) + jnp.where(ix_e == bb - 1, fx_e, 0.0)).astype(dtype),
-                        (jnp.where(ix_o == bb, 1.0 - fx_o, 0.0) + jnp.where(ix_o == bb - 1, fx_o, 0.0)).astype(dtype),
-                    )
+                    if _PROBE == "const_coeff":
+                        w2 = jnp.full((TH, G2, 128), 0.25, dtype)
+                    else:
+                        wx_e = (
+                            jnp.where(ix_e == bb, 1.0 - fx_e, 0.0)
+                            + jnp.where(ix_e == bb - 1, fx_e, 0.0)
+                        ).astype(dtype)
+                        wx_o = (
+                            jnp.where(ix_o == bb, 1.0 - fx_o, 0.0)
+                            + jnp.where(ix_o == bb - 1, fx_o, 0.0)
+                        ).astype(dtype)
+                        w2 = pack(wy_e * wx_e, wy_o * wx_o)
                     x0 = (j - (kw // 2)) + bb + R + 1
                     g0, par = divmod(x0, 2)
                     src = xo_f if par else xe_f
+                    if _PROBE == "aligned_slice":
+                        g0 = 0
 
                     def fma():
-                        row_ref[:] = (
-                            row_ref[:]
-                            + wx * src[pl.ds(y0, TH), g0 : g0 + G2, :]
+                        acc_ref[:] = (
+                            acc_ref[:]
+                            + w2 * src[pl.ds(y0, TH), g0 : g0 + G2, :]
                         )
 
                     if adaptive:
                         pl.when((bb >= b_lo) & (bb <= b_hi))(fma)
                     else:
                         fma()
-
-                acc_ref[:] = acc_ref[:] + wy * row_ref[:]
 
             if adaptive:
                 pl.when((a >= a_lo) & (a <= a_hi))(v_pass)
@@ -304,7 +343,9 @@ def _kernel_p2(
             return carry
 
         jax.lax.fori_loop(0, win, a_body, 0)
-        acc = acc_ref[:] * pack(msk_e[..., k].astype(dtype), msk_o[..., k].astype(dtype))
+        acc = acc_ref[:] * pack(
+            msk_e[:, :, k : k + 1].astype(dtype), msk_o[:, :, k : k + 1].astype(dtype)
+        )
         mat_dtype = w_ref.dtype
         out_acc = out_acc + jnp.dot(
             acc.reshape(TH * G2, 128).astype(mat_dtype),
@@ -314,6 +355,174 @@ def _kernel_p2(
 
     out = out_acc + b_ref[:].astype(jnp.float32)
     out_ref[0] = out.reshape(TH, G2, 2 * Cout).astype(out_ref.dtype)
+
+
+def _kernel_cw(
+    x_hbm, off_ref, mask_ref, w_ref, b_ref, out_ref,
+    acc_ref, xraw_ref, xf_ref, sem,
+    *, R, TH, Wo, C, Cout, kh, kw, adaptive,
+):
+    """Channels-on-sublanes / width-on-lanes walk (round-4 layout).
+
+    Why this layout: the bilinear coefficient planes are per-*pixel* values
+    shared across channels. With width on lanes they are 2-D lane-major
+    arrays (a few vregs) and broadcast along the channel sublanes natively;
+    with channels on lanes (the previous layout) every coefficient plane
+    had to be materialized at (TH, W, C) size — measured at ~2/3 of kernel
+    time (docs/PERF.md round 4). Horizontal window shifts become lane
+    slices, vertical shifts stay dynamic row indexing, and one kernel now
+    serves every channel width (the even/odd lane-packed C==64 variant and
+    its dual staging are gone).
+    """
+    b_ix = pl.program_id(0)
+    t_ix = pl.program_id(1)
+    dma = pltpu.make_async_copy(
+        x_hbm.at[b_ix, pl.ds(t_ix * TH, xraw_ref.shape[0])], xraw_ref, sem
+    )
+    dma.start()
+    dma.wait()
+    xf_ref[:] = xraw_ref[:].astype(jnp.float32)
+    dtype = jnp.float32
+    off = off_ref[0]  # (TH, 2K, Wp) — W on lanes
+    msk = mask_ref[0]  # (TH, K, Wp)
+
+    K = kh * kw
+    win = 2 * R + 2
+    out_acc = jnp.zeros((TH * Wo, Cout), jnp.float32)
+    for k in range(K):
+        i, j = divmod(k, kw)
+        # 2-D lane-major coefficient math: (TH, Wo) arrays are ~Wo/128
+        # vregs per row — two orders of magnitude cheaper than plane ops
+        dy = jnp.clip(off[:, 2 * k, :Wo], -R, R)
+        dx = jnp.clip(off[:, 2 * k + 1, :Wo], -R, R)
+        iy = jnp.floor(dy)
+        ix = jnp.floor(dx)
+        fy = dy - iy
+        fx = dx - ix
+
+        acc_ref[:] = jnp.zeros((TH, C, Wo), dtype)
+
+        if adaptive:
+            a_lo = jnp.min(iy).astype(jnp.int32)
+            a_hi = jnp.max(iy).astype(jnp.int32) + 1
+            b_lo = jnp.min(ix).astype(jnp.int32)
+            b_hi = jnp.max(ix).astype(jnp.int32) + 1
+        else:
+            a_lo = b_lo = jnp.int32(-R)
+            a_hi = b_hi = jnp.int32(R + 1)
+
+        def a_body(ai, carry):
+            a = ai - R  # vertical shift in [-R, R+1]
+            wy = (
+                jnp.where(iy == a, 1.0 - fy, 0.0) + jnp.where(iy == a - 1, fy, 0.0)
+            ).astype(dtype)  # (TH, Wo) — cheap 2-D
+            y0 = (i - (kh // 2)) + a + R + 1
+
+            def v_pass():
+                for bb in range(-R, R + 2):
+                    wx = (
+                        jnp.where(ix == bb, 1.0 - fx, 0.0)
+                        + jnp.where(ix == bb - 1, fx, 0.0)
+                    ).astype(dtype)
+                    x0 = (j - (kw // 2)) + bb + R + 1
+
+                    def fma():
+                        # (TH, 1, Wo) coefficient broadcast along the C
+                        # sublanes — native sublane splat, no relayout
+                        w2 = (wy * wx)[:, None, :]
+                        acc_ref[:] = (
+                            acc_ref[:]
+                            + w2 * xf_ref[pl.ds(y0, TH), :, x0 : x0 + Wo]
+                        )
+
+                    if adaptive:
+                        pl.when((bb >= b_lo) & (bb <= b_hi))(fma)
+                    else:
+                        fma()
+
+            if adaptive:
+                pl.when((a >= a_lo) & (a <= a_hi))(v_pass)
+            else:
+                v_pass()
+            return carry
+
+        jax.lax.fori_loop(0, win, a_body, 0)
+        mk = msk[:, k, :Wo].astype(dtype)[:, None, :]  # (TH, 1, Wo)
+        acc = acc_ref[:] * mk
+        mat_dtype = w_ref.dtype
+        # contract channels: (TH, C, Wo) x (C, Cout) -> (TH, Wo, Cout);
+        # lhs contracting dim is the sublane dim (the MXU's natural A^T B)
+        tap = jax.lax.dot_general(
+            acc.astype(mat_dtype), w_ref[pl.ds(k * C, C), :],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (TH, Wo, Cout)
+        out_acc = out_acc + tap.reshape(TH * Wo, Cout)
+
+    out = out_acc + b_ref[:].astype(jnp.float32)
+    out_ref[0] = out.reshape(TH, Wo, Cout).astype(out_ref.dtype)
+
+
+def _forward_pallas_cw(x, offset, mask, weight, bias, radius: int, tile_h: int, adaptive: bool):
+    """Launcher for the channels-on-sublanes kernel (any C, stride 1)."""
+    B, H, W, C = x.shape
+    kh, kw, _, Cout = weight.shape
+    K = kh * kw
+    Ho, Wo = offset.shape[1], offset.shape[2]
+    R = radius
+    halo = 2 * R + 3
+    Cpad = -(-C // 8) * 8  # sublane alignment
+    Wl = -(-(W + halo) // 128) * 128  # lane alignment of the staged width
+
+    itemsize = jnp.dtype(x.dtype).itemsize
+
+    def vmem_estimate(th: int) -> int:
+        x_stage = (th + halo) * Cpad * Wl * (4 + itemsize)
+        offs = 2 * th * 3 * K * Wl * 4
+        acc = th * Cpad * Wo * 4
+        out = 2 * th * Wo * Cout * 2
+        return x_stage + offs + acc + out
+
+    TH = _pick_tile_h(Ho, tile_h, vmem_estimate, budget=_FWD_BUDGET)
+    T = Ho // TH
+
+    # HBM operands in kernel layout: x (B, Hp, C, Wl), offsets (B, H, 2K, W),
+    # mask (B, H, K, W) — one XLA transpose each, amortized across the walk
+    xp = jnp.pad(x, ((0, 0), (R + 1, R + 2), (R + 1, Wl - (W + R + 1)), (0, Cpad - C)))
+    xp = xp.transpose(0, 1, 3, 2)  # (B, Hp, Cpad, Wl)
+    off_t = offset.transpose(0, 1, 3, 2)  # (B, H, 2K, W)
+    msk_t = mask.transpose(0, 1, 3, 2)  # (B, H, K, W)
+
+    w_pad = jnp.pad(weight, ((0, 0), (0, 0), (0, Cpad - C), (0, 0)))
+    w_mat = w_pad.reshape(K * Cpad, Cout)
+    bias_2d = (bias if bias is not None else jnp.zeros((Cout,), x.dtype)).reshape(1, Cout)
+
+    kern = functools.partial(
+        _kernel_cw, R=R, TH=TH, Wo=Wo, C=Cpad, Cout=Cout, kh=kh, kw=kw, adaptive=adaptive
+    )
+    return pl.pallas_call(
+        kern,
+        grid=(B, T),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # xp (HBM; kernel DMAs windows)
+            pl.BlockSpec((1, TH, 2 * K, W), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TH, K, W), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # weights
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bias
+        ],
+        out_specs=pl.BlockSpec(
+            (1, TH, Wo, Cout), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Ho, Wo, Cout), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((TH, Cpad, Wo), jnp.float32),  # window accumulator
+            pltpu.VMEM((TH + halo, Cpad, Wl), x.dtype),  # x DMA landing
+            pltpu.VMEM((TH + halo, Cpad, Wl), jnp.float32),  # x fp32
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=_COMPILER_PARAMS,
+        interpret=_interpret(),
+    )(xp, off_t, msk_t, w_mat, bias_2d)
 
 
 def _forward_pallas_p2(x, offset, mask, weight, bias, radius: int, tile_h: int, adaptive: bool):
@@ -329,23 +538,25 @@ def _forward_pallas_p2(x, offset, mask, weight, bias, radius: int, tile_h: int, 
     G = G2 + R + 1  # packed groups incl. horizontal halo
 
     itemsize = jnp.dtype(x.dtype).itemsize
+    # packed-group dim padded to the 8-sublane tile so HBM DMA slices stay
+    # aligned; computed up front so the VMEM model uses the real (aligned)
+    # scratch widths (ADVICE r3: estimating with unaligned G undercounts)
+    Gp = -(-G // 8) * 8
 
     def vmem_estimate(th: int) -> int:
-        # raw + fp32 staging scratches for both parities (single-buffered:
-        # the kernel DMAs its own window; no pipeline double-buffering)
-        x_stage = 2 * (th + halo) * G * 128 * (4 + itemsize)
+        # raw + fp32 staging scratches for both parities (at the aligned
+        # width the scratches are actually allocated with)
+        x_stage = 2 * (th + halo) * Gp * 128 * (4 + itemsize)
         offs = 2 * 2 * th * G2 * 2 * K * 4
         msks = 2 * 2 * th * G2 * K * 4
         out = 2 * th * G2 * 128 * 2
-        scratch = 2 * th * G2 * 128 * 4
+        scratch = th * G2 * 128 * 4
         return x_stage + offs + msks + out + scratch
 
     TH = _pick_tile_h(Ho, tile_h, vmem_estimate, budget=_FWD_BUDGET)
     T = Ho // TH
     # padded at model dtype; halo'd windows are DMA'd from HBM by the
-    # kernel itself (no materialized overlapping tiles). The packed-group
-    # dim is padded to the 8-sublane tile so HBM DMA slices stay aligned.
-    Gp = -(-G // 8) * 8
+    # kernel itself (no materialized overlapping tiles).
     extra_w = (2 * Gp + 1) - (W + halo)
     xp = jnp.pad(x, ((0, 0), (R + 1, R + 2), (R + 1, R + 2 + max(extra_w, 0)), (0, 0)))
     Hp = xp.shape[1]
@@ -383,7 +594,6 @@ def _forward_pallas_p2(x, offset, mask, weight, bias, radius: int, tile_h: int, 
         ),
         out_shape=jax.ShapeDtypeStruct((B, Ho, G2, 2 * Cout), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((TH, G2, 128), jnp.float32),  # row accumulator
             pltpu.VMEM((TH, G2, 128), jnp.float32),  # window accumulator
             pltpu.VMEM((TH + halo, Gp, 128), x.dtype),  # xe DMA landing
             pltpu.VMEM((TH + halo, Gp, 128), x.dtype),  # xo DMA landing
@@ -404,6 +614,8 @@ def _forward_pallas(x, offset, mask, weight, bias, radius: int, tile_h: int, ada
     K = kh * kw
     Ho, Wo = offset.shape[1], offset.shape[2]
     assert Ho == H and Wo == W, "pallas path supports stride=1, padding=kh//2 only"
+    if _LAYOUT == "cw":
+        return _forward_pallas_cw(x, offset, mask, weight, bias, radius, tile_h, adaptive)
     if C == 64 and Wo % 2 == 0:
         return _forward_pallas_p2(x, offset, mask, weight, bias, radius, tile_h, adaptive)
     R = radius
@@ -413,14 +625,16 @@ def _forward_pallas(x, offset, mask, weight, bias, radius: int, tile_h: int, ada
     Cpad = ((C + 127) // 128) * 128
 
     itemsize = jnp.dtype(x.dtype).itemsize
+    # width padded to the 8-sublane tile for aligned DMA slices; computed
+    # up front so the VMEM model uses the real scratch width (ADVICE r3)
+    Wp = -(-(W + halo) // 8) * 8
 
     def vmem_estimate(th: int) -> int:
-        wp = W + halo
-        x_stage = (th + halo) * wp * Cpad * (4 + itemsize)  # DMA landing + f32
+        x_stage = (th + halo) * Wp * Cpad * (4 + itemsize)  # DMA landing + f32
         off = 2 * th * W * 2 * K * 4
         msk = 2 * th * W * K * 2
         out = 2 * th * W * Cout * 2
-        scratch = 2 * th * W * Cpad * 4
+        scratch = th * W * Cpad * 4
         acc = th * W * Cout * 4
         return x_stage + off + msk + out + scratch + acc
 
@@ -438,9 +652,7 @@ def _forward_pallas(x, offset, mask, weight, bias, radius: int, tile_h: int, ada
             TH //= 2
     assert TH >= 1
     T = Ho // TH
-    # padded at model dtype in HBM; the kernel DMAs halo'd row windows.
-    # Width is padded to the 8-sublane tile so the DMA slices stay aligned.
-    Wp = -(-(W + halo) // 8) * 8
+    # padded at model dtype in HBM; the kernel DMAs halo'd row windows
     xp = jnp.pad(
         x, ((0, 0), (R + 1, R + 2), (R + 1, R + 2 + (Wp - (W + halo))), (0, Cpad - C))
     )
@@ -468,7 +680,6 @@ def _forward_pallas(x, offset, mask, weight, bias, radius: int, tile_h: int, ada
         ),
         out_shape=jax.ShapeDtypeStruct((B, Ho, Wo, Cout), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((TH, Wo, Cpad), jnp.float32),  # row accumulator
             pltpu.VMEM((TH, Wo, Cpad), jnp.float32),  # window accumulator
             pltpu.VMEM((TH + halo, Wp, Cpad), x.dtype),  # x DMA landing
             pltpu.VMEM((TH + halo, Wp, Cpad), jnp.float32),  # x fp32
@@ -609,7 +820,227 @@ def _bwd_pom_kernel(
         gw_ref[pl.ds(k * C, C), :] = gw_ref[pl.ds(k * C, C), :] + gwk
 
 
+def _bwd_pom_kernel_cw(
+    x_hbm, off_ref, mask_ref, g_ref, w_ref,
+    go_ref, gm_ref, gw_ref,
+    row_ref, rgx_ref, s_ref, dsy_ref, dsx_ref, xraw_ref, xf_ref, sem,
+    *, R, TH, Wo, C, Cout, kh, kw, adaptive,
+):
+    """grad_offset / grad_mask / grad_weight, channels-on-sublanes layout.
+
+    Same recompute-gather as :func:`_bwd_pom_kernel`, rebuilt for the
+    round-4 layout (see :func:`_kernel_cw`): 2-D lane-major coefficient
+    planes, sublane-splat broadcasts, and the per-tap channel reductions
+    recast as MXU contractions — gm_k = sum_o (s_k W_k) ⊙ g, so no
+    (TH, W, C)-sized gWk plane is ever materialized. Also adds the
+    forward's adaptive scalar window gating (the v1 backward walked all
+    (2R+2)^2 positions unconditionally).
+    """
+    dtype = jnp.float32
+    b_ix = pl.program_id(0)
+    t_ix = pl.program_id(1)
+    dma = pltpu.make_async_copy(
+        x_hbm.at[b_ix, pl.ds(t_ix * TH, xraw_ref.shape[0])], xraw_ref, sem
+    )
+    dma.start()
+    dma.wait()
+    xf_ref[:] = xraw_ref[:].astype(jnp.float32)
+    off = off_ref[0]  # (TH, 2K, W) — W on lanes
+    msk = mask_ref[0]  # (TH, K, W)
+    g3 = g_ref[0].astype(dtype)  # (TH, Wo, Cout)
+    K = kh * kw
+    win = 2 * R + 2
+
+    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _init():
+        gw_ref[:] = jnp.zeros_like(gw_ref)
+
+    for k in range(K):
+        i, j = divmod(k, kw)
+        dyr = off[:, 2 * k, :Wo]  # (TH, Wo) 2-D lane-major
+        dxr = off[:, 2 * k + 1, :Wo]
+        dy = jnp.clip(dyr, -R, R)
+        dx = jnp.clip(dxr, -R, R)
+        iy = jnp.floor(dy)
+        ix = jnp.floor(dx)
+        fy = dy - iy
+        fx = dx - ix
+
+        s_ref[:] = jnp.zeros((TH, C, Wo), dtype)
+        dsy_ref[:] = jnp.zeros((TH, C, Wo), dtype)
+        dsx_ref[:] = jnp.zeros((TH, C, Wo), dtype)
+
+        if adaptive:
+            a_lo = jnp.min(iy).astype(jnp.int32)
+            a_hi = jnp.max(iy).astype(jnp.int32) + 1
+            b_lo = jnp.min(ix).astype(jnp.int32)
+            b_hi = jnp.max(ix).astype(jnp.int32) + 1
+        else:
+            a_lo = b_lo = jnp.int32(-R)
+            a_hi = b_hi = jnp.int32(R + 1)
+
+        def a_body(ai, carry):
+            a = ai - R
+            wy = (
+                jnp.where(iy == a, 1.0 - fy, 0.0) + jnp.where(iy == a - 1, fy, 0.0)
+            ).astype(dtype)[:, None, :]  # (TH, 1, Wo)
+            gy = (
+                jnp.where(iy == a, -1.0, 0.0) + jnp.where(iy == a - 1, 1.0, 0.0)
+            ).astype(dtype)[:, None, :]
+            y0 = (i - (kh // 2)) + a + R + 1
+
+            def v_pass():
+                row_ref[:] = jnp.zeros((TH, C, Wo), dtype)
+                rgx_ref[:] = jnp.zeros((TH, C, Wo), dtype)
+                for bb in range(-R, R + 2):
+                    wx = (
+                        jnp.where(ix == bb, 1.0 - fx, 0.0)
+                        + jnp.where(ix == bb - 1, fx, 0.0)
+                    ).astype(dtype)[:, None, :]
+                    gx = (
+                        jnp.where(ix == bb, -1.0, 0.0)
+                        + jnp.where(ix == bb - 1, 1.0, 0.0)
+                    ).astype(dtype)[:, None, :]
+                    x0 = (j - (kw // 2)) + bb + R + 1
+
+                    def fma():
+                        xs = xf_ref[pl.ds(y0, TH), :, x0 : x0 + Wo]
+                        row_ref[:] = row_ref[:] + wx * xs
+                        rgx_ref[:] = rgx_ref[:] + gx * xs
+
+                    if adaptive:
+                        pl.when((bb >= b_lo) & (bb <= b_hi))(fma)
+                    else:
+                        fma()
+                s_ref[:] = s_ref[:] + wy * row_ref[:]
+                dsy_ref[:] = dsy_ref[:] + gy * row_ref[:]
+                dsx_ref[:] = dsx_ref[:] + wy * rgx_ref[:]
+
+            if adaptive:
+                pl.when((a >= a_lo) & (a <= a_hi))(v_pass)
+            else:
+                v_pass()
+            return carry
+
+        jax.lax.fori_loop(0, win, a_body, 0)
+
+        # channel reductions as MXU contractions: qW = q @ W_k for each of
+        # the three walk accumulators, then a lane (Cout) reduction against
+        # the incoming cotangent — (TH, Wo, 1) results write natural
+        # lane-slices of the NHWC outputs
+        wk = w_ref[pl.ds(k * C, C), :]
+
+        def reduce_against_g(q_ref):
+            qW = jax.lax.dot_general(
+                q_ref[:], wk, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (TH, Wo, Cout)
+            return jnp.sum(qW * g3, axis=-1, keepdims=True)  # (TH, Wo, 1)
+
+        mk = msk[:, k, :Wo].astype(dtype)[:, :, None]  # (TH, Wo, 1)
+        gm_ref[0, :, :, k : k + 1] = reduce_against_g(s_ref).astype(gm_ref.dtype)
+        # clip passes gradient on the closed interval (matches lax.min/max
+        # VJP tie-breaking: both pick the first operand on equality)
+        cy = ((dyr >= -R) & (dyr <= R)).astype(dtype)[:, :, None]
+        cx = ((dxr >= -R) & (dxr <= R)).astype(dtype)[:, :, None]
+        go_ref[0, :, :, 2 * k : 2 * k + 1] = (
+            cy * mk * reduce_against_g(dsy_ref)
+        ).astype(go_ref.dtype)
+        go_ref[0, :, :, 2 * k + 1 : 2 * k + 2] = (
+            cx * mk * reduce_against_g(dsx_ref)
+        ).astype(go_ref.dtype)
+
+        # grad_weight: sum_{t,w} (mask * s)[t,c,w] g[t,w,o] -> (C, Cout),
+        # accumulated across the sequential grid. Mosaic's matmul can't
+        # contract two dims at once, so the row dim is an unrolled loop of
+        # plain (C, Wo) @ (Wo, Cout) dots.
+        mk_cw = msk[:, k, :Wo].astype(dtype)[:, None, :]  # (TH, 1, Wo)
+        sm = s_ref[:] * mk_cw
+        gwk = jnp.zeros((C, Cout), jnp.float32)
+        for t in range(TH):
+            gwk = gwk + jax.lax.dot_general(
+                sm[t], g3[t], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        gw_ref[pl.ds(k * C, C), :] = gw_ref[pl.ds(k * C, C), :] + gwk
+
+
+def _bwd_pom_cw(x, offset, mask, g, weight, radius: int, tile_h: int, adaptive: bool = True):
+    B, H, W, C = x.shape
+    kh, kw, _, Cout = weight.shape
+    K = kh * kw
+    Ho, Wo = offset.shape[1], offset.shape[2]
+    R = radius
+    halo = 2 * R + 3
+    Cpad = -(-C // 8) * 8
+    Wl = -(-(W + halo) // 128) * 128
+    itemsize = jnp.dtype(x.dtype).itemsize
+
+    def vmem_estimate(th: int) -> int:
+        x_stage = (th + halo) * Cpad * Wl * (4 + itemsize)
+        offs = 2 * th * 3 * K * Wl * 4
+        gt = 2 * th * Wo * Cout * 4
+        outs = 2 * th * Wo * 3 * K * 4 + K * Cpad * Cout * 4
+        scratch = 5 * th * Cpad * Wo * 4
+        return x_stage + offs + gt + outs + scratch
+
+    TH = _pick_tile_h(Ho, tile_h, vmem_estimate, budget=_BWD_BUDGET)
+    T = Ho // TH
+    xp = jnp.pad(x, ((0, 0), (R + 1, R + 2), (R + 1, Wl - (W + R + 1)), (0, Cpad - C)))
+    xp = xp.transpose(0, 1, 3, 2)  # (B, Hp, Cpad, Wl)
+    off_t = offset.transpose(0, 1, 3, 2)  # (B, H, 2K, W)
+    msk_t = mask.transpose(0, 1, 3, 2)
+    w_pad = jnp.pad(weight, ((0, 0), (0, 0), (0, Cpad - C), (0, 0)))
+    w_mat = w_pad.reshape(K * Cpad, Cout)
+
+    kern = functools.partial(
+        _bwd_pom_kernel_cw, R=R, TH=TH, Wo=Wo, C=Cpad, Cout=Cout, kh=kh, kw=kw,
+        adaptive=adaptive,
+    )
+    go, gm, gw = pl.pallas_call(
+        kern,
+        grid=(B, T),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # xp (HBM; kernel DMAs windows)
+            pl.BlockSpec((1, TH, 2 * K, W), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TH, K, W), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TH, Wo, Cout), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # weights
+        ],
+        out_specs=[
+            pl.BlockSpec((1, TH, Wo, 2 * K), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TH, Wo, K), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM),
+            # constant index map: persists across the sequential grid and
+            # accumulates grad_weight
+            pl.BlockSpec((K * Cpad, Cout), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Ho, Wo, 2 * K), jnp.float32),
+            jax.ShapeDtypeStruct((B, Ho, Wo, K), jnp.float32),
+            jax.ShapeDtypeStruct((K * Cpad, Cout), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((TH, Cpad, Wo), jnp.float32),  # row (wx pass)
+            pltpu.VMEM((TH, Cpad, Wo), jnp.float32),  # row (gx pass)
+            pltpu.VMEM((TH, Cpad, Wo), jnp.float32),  # s_k
+            pltpu.VMEM((TH, Cpad, Wo), jnp.float32),  # ds/ddy
+            pltpu.VMEM((TH, Cpad, Wo), jnp.float32),  # ds/ddx
+            pltpu.VMEM((TH + halo, Cpad, Wl), x.dtype),  # x DMA landing
+            pltpu.VMEM((TH + halo, Cpad, Wl), jnp.float32),  # x fp32
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=_COMPILER_PARAMS,
+        interpret=_interpret(),
+    )(xp, off_t, msk_t, g, w_mat)
+    gw = gw.reshape(K, Cpad, Cout)[:, :C, :].reshape(kh, kw, C, Cout)
+    return go, gm, gw
+
+
 def _bwd_pom(x, offset, mask, g, weight, radius: int, tile_h: int):
+    if _LAYOUT == "cw":
+        return _bwd_pom_cw(x, offset, mask, g, weight, radius, tile_h)
     B, H, W, C = x.shape
     kh, kw, _, Cout = weight.shape
     K = kh * kw
@@ -769,7 +1200,181 @@ def _bwd_x_kernel(
     gx_ref[0] = acc_ref[:].astype(gx_ref.dtype)
 
 
+def _bwd_x_kernel_cw(
+    g_hbm, off_hbm, mask_hbm, w_ref, gx_ref,
+    tk_ref, acc_ref, graw_ref, gf_ref, off_ref, mask_ref, sems,
+    *, R, TH, W, Wl, C, Cout, kh, kw, adaptive,
+):
+    """grad_x transposed gather, channels-on-sublanes layout.
+
+    Same math as :func:`_bwd_x_kernel` (no scatters; coefficients and
+    cotangents evaluated at the source position p = q - delta), with the
+    round-4 layout: per (tap, shift) t_k = mask ⊙ (W_k g) lands directly
+    in the (C, TH, W) accumulator layout via one MXU contraction, and the
+    coefficient planes are cheap 2-D lane-major arrays. Adds the adaptive
+    scalar gating (bounds over the whole staged offset tile — a superset
+    of every shifted window, so gating is exact)."""
+    dtype = jnp.float32
+    K = kh * kw
+    win = 2 * R + 2
+    b_ix = pl.program_id(0)
+    t_ix = pl.program_id(1)
+    rows = graw_ref.shape[0]
+    dma_g = pltpu.make_async_copy(g_hbm.at[b_ix, pl.ds(t_ix * TH, rows)], graw_ref, sems.at[0])
+    dma_o = pltpu.make_async_copy(off_hbm.at[b_ix, pl.ds(t_ix * TH, rows)], off_ref, sems.at[1])
+    dma_m = pltpu.make_async_copy(mask_hbm.at[b_ix, pl.ds(t_ix * TH, rows)], mask_ref, sems.at[2])
+    dma_g.start()
+    dma_o.start()
+    dma_m.start()
+    dma_g.wait()
+    dma_o.wait()
+    dma_m.wait()
+    gf_ref[:] = graw_ref[:].astype(jnp.float32)
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    for k in range(K):
+        i, j = divmod(k, kw)
+        wk = w_ref[pl.ds(k * C, C), :]  # (C, Cout)
+
+        if adaptive:
+            dy_all = jnp.clip(off_ref[:, 2 * k, :], -R, R)
+            dx_all = jnp.clip(off_ref[:, 2 * k + 1, :], -R, R)
+            a_lo = jnp.min(jnp.floor(dy_all)).astype(jnp.int32)
+            a_hi = jnp.max(jnp.floor(dy_all)).astype(jnp.int32) + 1
+            b_lo = jnp.min(jnp.floor(dx_all)).astype(jnp.int32)
+            b_hi = jnp.max(jnp.floor(dx_all)).astype(jnp.int32) + 1
+        else:
+            a_lo = b_lo = jnp.int32(-R)
+            a_hi = b_hi = jnp.int32(R + 1)
+
+        def a_body(ai, carry):
+            a = ai - R
+            # source rows p_y = q_y - (a + i - kh//2); halo'd arrays are
+            # padded by R+2 on top, so the slice starts at
+            y0 = (R + 2) - (a + i - (kh // 2))
+
+            def v_pass():
+                g_rows = gf_ref[pl.ds(y0, TH), :, :]  # (TH, Cout, Wl)
+                # t_k = mask ⊙ (W_k g): (C, TH, Wl) — matches acc layout
+                tk_ref[:] = jax.lax.dot_general(
+                    wk, g_rows, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * mask_ref[pl.ds(y0, TH), k, :].astype(dtype)[None, :, :]
+                dyr = off_ref[pl.ds(y0, TH), 2 * k, :]  # (TH, Wl)
+                dy = jnp.clip(dyr, -R, R)
+                iy = jnp.floor(dy)
+                fy = dy - iy
+                wy = (
+                    jnp.where(iy == a, 1.0 - fy, 0.0) + jnp.where(iy == a - 1, fy, 0.0)
+                ).astype(dtype)
+                dxr = off_ref[pl.ds(y0, TH), 2 * k + 1, :]
+                dx = jnp.clip(dxr, -R, R)
+                ix = jnp.floor(dx)
+                fx = dx - ix
+                for bb in range(-R, R + 2):
+                    x0 = (R + 2) - (bb + j - (kw // 2))
+
+                    def fma():
+                        ixs = ix[:, x0 : x0 + W]
+                        fxs = fx[:, x0 : x0 + W]
+                        wxs = (
+                            jnp.where(ixs == bb, 1.0 - fxs, 0.0)
+                            + jnp.where(ixs == bb - 1, fxs, 0.0)
+                        ).astype(dtype)
+                        coef = (wy[:, x0 : x0 + W] * wxs)[None, :, :]  # (1, TH, W)
+                        acc_ref[:] = acc_ref[:] + coef * tk_ref[:, :, x0 : x0 + W]
+
+                    if adaptive:
+                        pl.when((bb >= b_lo) & (bb <= b_hi))(fma)
+                    else:
+                        fma()
+
+            if adaptive:
+                pl.when((a >= a_lo) & (a <= a_hi))(v_pass)
+            else:
+                v_pass()
+            return carry
+
+        jax.lax.fori_loop(0, win, a_body, 0)
+    gx_ref[0] = acc_ref[:].astype(gx_ref.dtype)
+
+
+def _bwd_x_cw(x_shape, x_dtype, g, offset, mask, weight, radius: int, tile_h: int, adaptive: bool = True):
+    B, H, W, C = x_shape
+    kh, kw, _, Cout = weight.shape
+    K = kh * kw
+    R = radius
+    halo = 2 * R + 3
+    Cpad = -(-C // 8) * 8
+    Coutp = -(-Cout // 8) * 8
+    Wl = -(-(W + halo) // 128) * 128
+    g_itemsize = jnp.dtype(g.dtype).itemsize
+
+    def vmem_estimate(th: int) -> int:
+        hh = th + halo
+        g_stage = hh * Coutp * Wl * (4 + g_itemsize)
+        offs = hh * 3 * K * Wl * 4
+        out = 2 * th * Cpad * W * 4
+        scratch = Cpad * th * (Wl + W) * 4
+        return g_stage + offs + out + scratch
+
+    # the (1, Cpad, TH, W) output block puts TH on the sublane dim, so TH
+    # must be a multiple of 8 (or the whole H) for the Mosaic block-shape
+    # rule — pick the largest fitting candidate
+    TH = H
+    for cand in (32, 24, 16, 8):
+        if H % cand == 0 and vmem_estimate(cand) <= _BWD_BUDGET and cand <= max(tile_h, 8):
+            TH = cand
+            break
+    T = H // TH
+    # sources padded (R+2) top/left, (R+1) bottom/right — the transpose of
+    # the forward x padding; g zero-pads so out-of-range contributions
+    # vanish (offset/mask pad values then irrelevant)
+    pad = ((0, 0), (R + 2, R + 1), (R + 2, Wl - (W + R + 2)), (0, 0))
+    # channel dims padded to the 8-sublane tile so the kernel's HBM window
+    # DMAs slice full (aligned) dims
+    K2p = -(-2 * K // 8) * 8
+    Kp = -(-K // 8) * 8
+    gp = jnp.pad(g, (pad[0], pad[1], pad[2], (0, Coutp - Cout))).transpose(0, 1, 3, 2)
+    op = jnp.pad(offset, (pad[0], pad[1], pad[2], (0, K2p - 2 * K))).transpose(0, 1, 3, 2)
+    mp = jnp.pad(mask, (pad[0], pad[1], pad[2], (0, Kp - K))).transpose(0, 1, 3, 2)
+    w_pad = jnp.pad(weight, ((0, 0), (0, 0), (0, Cpad - C), (0, Coutp - Cout)))
+    w_mat = w_pad.reshape(K * Cpad, Coutp)
+
+    kern = functools.partial(
+        _bwd_x_kernel_cw, R=R, TH=TH, W=W, Wl=Wl, C=Cpad, Cout=Coutp, kh=kh, kw=kw,
+        adaptive=adaptive,
+    )
+    gx = pl.pallas_call(
+        kern,
+        grid=(B, T),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # g (HBM; kernel DMAs windows)
+            pl.BlockSpec(memory_space=pl.ANY),  # offset
+            pl.BlockSpec(memory_space=pl.ANY),  # mask
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # weights
+        ],
+        out_specs=pl.BlockSpec(
+            (1, Cpad, TH, W), lambda b, t: (b, 0, t, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Cpad, H, W), x_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((Cpad, TH, Wl), jnp.float32),  # t_k for one shift
+            pltpu.VMEM((Cpad, TH, W), jnp.float32),  # gx accumulator
+            pltpu.VMEM((TH + halo, Coutp, Wl), g.dtype),  # g DMA landing
+            pltpu.VMEM((TH + halo, Coutp, Wl), jnp.float32),  # g fp32
+            pltpu.VMEM((TH + halo, K2p, Wl), offset.dtype),  # offset window
+            pltpu.VMEM((TH + halo, Kp, Wl), mask.dtype),  # mask window
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        compiler_params=_COMPILER_PARAMS,
+        interpret=_interpret(),
+    )(gp, op, mp, w_mat)
+    return gx[:, :C].transpose(0, 2, 3, 1)  # (B, H, W, C)
+
+
 def _bwd_x(x_shape, x_dtype, g, offset, mask, weight, radius: int, tile_h: int):
+    if _LAYOUT == "cw":
+        return _bwd_x_cw(x_shape, x_dtype, g, offset, mask, weight, radius, tile_h)
     B, H, W, C = x_shape
     kh, kw, _, Cout = weight.shape
     K = kh * kw

@@ -9,6 +9,7 @@ from dcd_tpu.config import dgde_run_config
 from dcd_tpu.data import synthetic
 from dcd_tpu.data.augmentations import flip_horizontal, resize_scene
 from dcd_tpu.data.kitti_dataset import (
+    ConcatDataset,
     DataLoader,
     InferenceSampler,
     InfiniteTrainingSampler,
@@ -158,6 +159,30 @@ def fake_kitti_root(tmp_path_factory, cfg):
         with open(root / ".." / "kpts_ann" / f"kpts_ann_{split}.json", "w") as f:
             json.dump(kpts_ann, f)
     return str(root)
+
+
+class TestConcatDataset:
+    def test_concat_indexing_and_loader(self, cfg, fake_kitti_root):
+        """Multi-dataset training parity (reference build.py:51-54):
+        a tuple of roots concatenates into one index space."""
+        import dataclasses
+
+        d1 = KITTIDataset(cfg, fake_kitti_root, is_train=True, augment=False)
+        cat = ConcatDataset([d1, d1])
+        assert len(cat) == 2 * len(d1)
+        # same underlying sample at idx and idx + len(d1)
+        a = cat.get_sample(1)
+        b = cat.get_sample(1 + len(d1))
+        np.testing.assert_array_equal(a.targets["reg_mask"], b.targets["reg_mask"])
+        with pytest.raises(IndexError):
+            cat._locate(len(cat))
+
+        cfg2 = dataclasses.replace(
+            cfg, solver=dataclasses.replace(cfg.solver, ims_per_batch=2)
+        )
+        loader = make_data_loader(cfg2, (fake_kitti_root, fake_kitti_root), is_train=True)
+        batch = next(iter(loader))
+        assert batch["images"].shape[0] == 2
 
 
 class TestFileDataset:

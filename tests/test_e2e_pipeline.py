@@ -36,6 +36,147 @@ from dcd_tpu.engine.gmw_train import (
 from dcd_tpu.evaluation import kitti_eval
 
 
+def _warm_2d_head_bias(state):
+    """+1 on the 2d_dim output bias: relu'd box-extent channels whose raw
+    init lands negative get zero gradient and stay dead under tiny-sample
+    overfit (the reference has the same relu, detector_loss.py:270; at real
+    scale the shared bias unsticks via positions that start positive)."""
+    params = jax.tree.map(lambda x: x, state.params)
+
+    def walk(tree, path=""):
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                walk(v, path + "/" + k)
+            elif "reg_out" in path and "2d_dim" in path and k == "bias":
+                tree[k] = v + 1.0
+
+    walk(params)
+    return state.replace(params=params)
+
+
+def test_trained_ap_floor(cfg, tmp_path):
+    """Trained-quality gate (VERDICT r3 #4b): overfit two close-car scenes,
+    then the OFFICIAL evaluator must report high 2-D AP and the trained
+    model must beat the untrained one — a garbage-emitting detector fails.
+
+    3-D AP at this micro scale is bounded by the method itself: the final
+    depth is the reference's mean over all 2628 edge-pair depths
+    (detector_infer.py:225), which needs full-scale keypoint training and
+    the GMW stage-2 reweighting to become accurate; the AP3D trajectory
+    gate runs at full size in tools/convergence_run.py (docs/CONVERGENCE.md)
+    and stage 2's depth gate is tests/test_trained_quality.py. Direct depth
+    is asserted here instead — it is decodable and must overfit to <0.5 m.
+    """
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        cfg, solver=dataclasses.replace(cfg.solver, base_lr=3e-3, warmup_steps=20)
+    )
+    model, state = create_train_state(cfg, jax.random.PRNGKey(0))
+    state = _warm_2d_head_bias(state)
+    samples = []
+    for s in range(2):
+        img, objs, calib = synthetic.make_scene(
+            seed=s, num_objs=3, image_size=(90, 60), depth_range=(4.5, 8.5)
+        )
+        samples.append(encode_targets(img, objs, calib, cfg, img_id=f"{s:06d}"))
+    batch = collate(samples)
+    step = jax.jit(make_train_step(cfg, model))
+
+    infer_fn = jax.jit(
+        lambda params, bs, im, ei, el, cp, ps, sz: postprocess(
+            cfg,
+            model.apply({"params": params, "batch_stats": bs}, im, ei, el, train=False),
+            cp, ps, sz,
+        )
+    )
+
+    tags = iter(range(100))
+
+    def eval_ap(st):
+        tag = next(tags)
+        res_dir = tmp_path / f"res_{tag}"
+        gt_dir = tmp_path / f"gt_{tag}"
+        os.makedirs(res_dir, exist_ok=True)
+        os.makedirs(gt_dir, exist_ok=True)
+        ids = []
+        for s in samples:
+            t = s.targets
+            o = infer_fn(
+                st.params, st.batch_stats,
+                jnp.asarray(s.image[None]), jnp.asarray(t["edge_indices"][None]),
+                jnp.asarray(t["edge_len"][None]), jnp.asarray(t["calib_P_full"][None]),
+                jnp.asarray(t["pad_size"][None]), jnp.asarray(t["image_size"][None]),
+            )
+            dets, valid = np.asarray(o["dets"])[0], np.asarray(o["valid"])[0]
+            with open(res_dir / f"{s.img_id}.txt", "w") as f:
+                f.write("\n".join(format_kitti_lines(dets, valid)) + "\n")
+            img, objs, calib = synthetic.make_scene(
+                seed=int(s.img_id), num_objs=3, image_size=(90, 60), depth_range=(4.5, 8.5)
+            )
+            with open(gt_dir / f"{s.img_id}.txt", "w") as f:
+                for ob in objs:
+                    f.write(
+                        f"Car {ob.truncation:.2f} {ob.occlusion} {ob.alpha:.2f} "
+                        f"{ob.box2d[0]:.2f} {ob.box2d[1]:.2f} {ob.box2d[2]:.2f} {ob.box2d[3]:.2f} "
+                        f"{ob.h:.2f} {ob.w:.2f} {ob.l:.2f} "
+                        f"{ob.t[0]:.2f} {ob.t[1]:.2f} {ob.t[2]:.2f} {ob.ry:.2f}\n"
+                    )
+            ids.append(s.img_id)
+        split = tmp_path / f"val_{tag}.txt"
+        with open(split, "w") as f:
+            f.write("\n".join(ids))
+        _, ret = kitti_eval.evaluate_from_files(
+            str(gt_dir), str(res_dir), str(split), current_class=0, metric="R40"
+        )
+        return ret
+
+    def direct_depth_mae(st):
+        """Decode the direct-depth head against gt depths (nearest gt per
+        high-score det)."""
+        from dcd_tpu.engine.infer import nms_hm, select_point_of_interest, select_topk
+        from dcd_tpu.models.predictor import Converter_key2channel
+        from dcd_tpu.ops import codec
+
+        head = cfg.model.head
+        k2c = Converter_key2channel(head.regression_heads, head.regression_channels)
+        errs = []
+        for s in samples:
+            t = s.targets
+            preds = model.apply(
+                {"params": st.params, "batch_stats": st.batch_stats},
+                jnp.asarray(s.image[None]), jnp.asarray(t["edge_indices"][None]),
+                jnp.asarray(t["edge_len"][None]), train=False,
+            )
+            hm = nms_hm(preds["cls"])
+            scores, indexs, clses, ys, xs = select_topk(hm, K=4)
+            pois = select_point_of_interest(indexs, preds["reg"])[0]
+            dd = np.asarray(
+                codec.decode_depth(
+                    pois[:, k2c("depth")].squeeze(-1), head.depth_mode,
+                    head.depth_reference, head.depth_range,
+                )
+            )
+            m = t["reg_mask"].astype(bool)
+            gt_z = np.sort(t["locations"][m][:, 2])
+            n = min(len(gt_z), int(np.asarray(scores[0] > 0.3).sum()))
+            if n:
+                errs.extend(np.abs(np.sort(dd[:n]) - gt_z[:n]).tolist())
+        return float(np.mean(errs)) if errs else float("inf")
+
+    untrained = eval_ap(state)
+    for i in range(1100):
+        state, logs = step(state, batch)
+    assert np.isfinite(float(logs["total_loss"]))
+    trained = eval_ap(state)
+
+    key = "Car_image/moderate"  # official bbox AP, 0.7-overlap row
+    assert trained[key] > 50.0, (trained[key], untrained[key])
+    assert trained[key] > untrained[key]
+    mae = direct_depth_mae(state)
+    assert mae < 0.5, mae
+
+
 @pytest.fixture(scope="module")
 def cfg():
     base = dgde_run_config()

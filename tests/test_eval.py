@@ -2,6 +2,9 @@
 oracle + analytic cases, and AP protocol sanity (perfect/missing/degraded
 detections)."""
 
+import os
+import sys
+
 import numpy as np
 import pytest
 
@@ -73,9 +76,21 @@ def _oracle_iou(b1, b2):
 
 class TestRotateIoU:
     def test_identical_boxes(self):
-        b = np.array([[1.0, 2.0, 3.0, 4.0, 0.7]])
+        # axis-aligned: corners are exact in fp32, full overlap
+        b = np.array([[1.0, 2.0, 3.0, 4.0, 0.0]])
         iou = rotate_iou_eval(b, b)
-        np.testing.assert_allclose(iou, 1.0, atol=1e-4)
+        np.testing.assert_allclose(iou, 1.0, atol=1e-6)
+        # rotated identical boxes: fp32 roundoff makes the strict
+        # point-in-quad test drop the far corner — the reference CUDA
+        # kernel does the same; assert bit-parity with its transcription
+        # rather than the geometric 1.0 (see rotate_iou.py docstring)
+        sys.path.insert(0, os.path.dirname(__file__))
+        from ref_rotate_iou_oracle import rotate_iou_gpu_eval as ref
+
+        br = np.array([[1.0, 2.0, 3.0, 4.0, 0.7]])
+        got = rotate_iou_eval(br, br)
+        want = ref(br, br)
+        np.testing.assert_array_equal(got.astype(np.float64), want)
 
     def test_axis_aligned_known(self):
         b1 = np.array([[0.0, 0.0, 2.0, 2.0, 0.0]])
@@ -153,10 +168,23 @@ def _make_annos(n_objs, cls="Car", score=None, jitter=0.0, rng=None):
     return anno
 
 
+def _near_perfect_dt(gt, seed=7):
+    """Detections equal to GT up to a 1e-4 location jitter (IoU ~0.9998).
+
+    Bit-identical rotated boxes hit the reference kernel's strict-test
+    corner-drop quirk (exactly collinear edges yield no intersections and
+    roundoff drops corners — see rotate_iou.py docstring); real detections
+    are never bit-identical, so 'perfect detector' tests jitter."""
+    rng = np.random.RandomState(seed)
+    dt = {k: (v.copy() if isinstance(v, np.ndarray) else v) for k, v in gt.items()}
+    dt["location"] = dt["location"] + rng.uniform(-1e-4, 1e-4, dt["location"].shape)
+    return dt
+
+
 class TestAPProtocol:
     def test_perfect_detections_ap100(self):
         gt_annos = [_make_annos(12, rng=np.random.RandomState(i)) for i in range(5)]
-        dt_annos = [dict(a) for a in gt_annos]
+        dt_annos = [_near_perfect_dt(a) for a in gt_annos]
         result, ret = kitti_eval.get_official_eval_result(gt_annos, dt_annos, ["Car"], metric="R40")
         assert abs(ret["Car_3d_moderate_R40_0.70"] - 100.0) < 1e-6, result
 
@@ -192,8 +220,9 @@ class TestAPProtocol:
         rng = np.random.RandomState(5)
         gt = _make_annos(50, rng=rng)
         fp = _make_annos(50, rng=np.random.RandomState(99))
+        gtj = _near_perfect_dt(gt)
         dt = {
-            k: np.concatenate([gt[k], fp[k]], axis=0) for k in gt
+            k: np.concatenate([gtj[k], fp[k]], axis=0) for k in gt
         }
         dt["score"] = np.concatenate([np.full(50, 0.5), np.full(50, 0.9)])
         _, ret = kitti_eval.get_official_eval_result([gt], [dt], ["Car"], metric="R40")
@@ -207,7 +236,8 @@ class TestDifficultyRules:
         as FN)."""
         gt = _make_annos(50)
         gt["bbox"][-1] = [0, 0, 50, 30]  # 30px high -> ignored for easy+mod
-        dt = {k: (v[:-1].copy() if isinstance(v, np.ndarray) else v) for k, v in gt.items()}
+        dt = _near_perfect_dt(gt)
+        dt = {k: (v[:-1].copy() if isinstance(v, np.ndarray) else v) for k, v in dt.items()}
         _, ret = kitti_eval.get_official_eval_result([gt], [dt], ["Car"], metric="R40")
         # detections match all 49 valid gts; the small gt is ignored, not FN
         assert abs(ret["Car_3d_easy_R40_0.70"] - 100.0) < 1e-6
@@ -216,7 +246,7 @@ class TestDifficultyRules:
         """A Van GT matched by a Car detection doesn't count as TP or FP."""
         gt = _make_annos(50)
         gt["name"] = np.array(["Car"] * 49 + ["Van"])
-        dt = {k: (v.copy() if isinstance(v, np.ndarray) else v) for k, v in gt.items()}
+        dt = _near_perfect_dt(gt)
         dt["name"] = np.array(["Car"] * 50)
         _, ret = kitti_eval.get_official_eval_result([gt], [dt], ["Car"], metric="R40")
         assert abs(ret["Car_3d_moderate_R40_0.70"] - 100.0) < 1e-6

@@ -62,7 +62,11 @@ def test_reg_weighted_l1():
     tgt = RNG.randn(4, 63, 2).astype(np.float32)
     dep = np.array([3.0, 10.0, 30.0, 60.0], np.float32)
     out = np.asarray(losses.reg_weighted_l1_loss(jnp.asarray(pred), jnp.asarray(tgt), jnp.asarray(dep)))
-    want = np.abs(pred - tgt).sum(-1) * np.where(dep < 5, dep * 0.01, np.log10(dep - 4) + 0.1)[:, None]
+    # guard the oracle's log10 argument on the dep<5 branch (selected away
+    # by the where, but NumPy still evaluates it and warns)
+    want = np.abs(pred - tgt).sum(-1) * np.where(
+        dep < 5, dep * 0.01, np.log10(np.maximum(dep - 4, 1e-9)) + 0.1
+    )[:, None]
     np.testing.assert_allclose(out, want, rtol=1e-4)
 
 

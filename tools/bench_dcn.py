@@ -26,6 +26,10 @@ def main():
     p.add_argument("--tile_h", type=int, default=8)
     p.add_argument("--off_std", type=float, default=0.75)
     p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--levels", default=None, help="comma list: s4_c64,s8_c128,s16_c256")
+    p.add_argument("--dtype", default="float32", help="x/mask/weight dtype (bfloat16 = model path)")
+    p.add_argument("--skip_dense", action="store_true", help="time only the Pallas kernels")
+    p.add_argument("--skip_full", action="store_true", help="skip the non-adaptive Pallas timing")
     p.add_argument(
         "--bwd", action="store_true",
         help="also time the backward pass: Pallas kernels vs XLA-autodiff "
@@ -36,6 +40,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
+    )
+
     from dcd_tpu.ops.dcn import deform_conv2d_dense
     from dcd_tpu.ops import dcn_pallas
 
@@ -45,29 +54,37 @@ def main():
         "s8_c128": (args.batch, 48, 160, 128, 128),
         "s16_c256": (args.batch, 24, 80, 256, 256),
     }
+    if args.levels:
+        keep = args.levels.split(",")
+        levels = {k: v for k, v in levels.items() if k in keep}
+    mdtype = jnp.dtype(args.dtype)
     K = 9
     rng = np.random.RandomState(0)
 
+    # tunnel sync: fetch ONE on-device-computed scalar (fetching the whole
+    # output array over the axon tunnel costs tens of seconds per call)
+    sync = jax.jit(lambda o: jnp.float32(o.ravel()[0]))
+
     def timeit(fn, *a):
         out = fn(*a)
-        np.asarray(out).ravel()[0]  # force host fetch (tunnel sync)
+        np.asarray(sync(out))  # force completion via tiny host fetch
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
             for _ in range(args.iters):
                 out = fn(*a)
-            np.asarray(out).ravel()[0]
+            np.asarray(sync(out))
             best = min(best, (time.perf_counter() - t0) / args.iters)
         return best * 1e3, out
 
     for name, (B, H, W, C, Cout) in levels.items():
-        x = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+        x = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32)).astype(mdtype)
         off = jnp.asarray(
             (rng.randn(B, H, W, 2 * K) * args.off_std).astype(np.float32)
         )
-        mask = jax.nn.sigmoid(jnp.asarray(rng.randn(B, H, W, K).astype(np.float32)))
-        w = jnp.asarray((rng.randn(3, 3, C, Cout) * 0.05).astype(np.float32))
-        b = jnp.asarray(rng.randn(Cout).astype(np.float32))
+        mask = jax.nn.sigmoid(jnp.asarray(rng.randn(B, H, W, K).astype(np.float32))).astype(mdtype)
+        w = jnp.asarray((rng.randn(3, 3, C, Cout) * 0.05).astype(np.float32)).astype(mdtype)
+        b = jnp.asarray(rng.randn(Cout).astype(np.float32)).astype(mdtype)
 
         dense = jax.jit(
             lambda x, o, m, w, b: deform_conv2d_dense(
@@ -85,16 +102,23 @@ def main():
             )
         )
 
-        t_dense, o_dense = timeit(dense, x, off, mask, w, b)
         t_ad, o_ad = timeit(pal_ad, x, off, mask, w, b)
-        t_na, o_na = timeit(pal_na, x, off, mask, w, b)
-        err_ad = float(jnp.max(jnp.abs(o_ad - o_dense)))
-        err_na = float(jnp.max(jnp.abs(o_na - o_dense)))
-        ref = float(jnp.max(jnp.abs(o_dense)))
+        if args.skip_dense:
+            t_dense, o_dense = float("nan"), o_ad
+        else:
+            t_dense, o_dense = timeit(dense, x, off, mask, w, b)
+        if args.skip_full:
+            t_na, o_na = float("nan"), o_dense
+        else:
+            t_na, o_na = timeit(pal_na, x, off, mask, w, b)
+        o32 = o_dense.astype(jnp.float32)
+        err_ad = float(jnp.max(jnp.abs(o_ad.astype(jnp.float32) - o32)))
+        err_na = float(jnp.max(jnp.abs(o_na.astype(jnp.float32) - o32)))
+        ref = float(jnp.max(jnp.abs(o32)))
         print(
             f"{name}: dense {t_dense:7.2f} ms | pallas-adaptive {t_ad:7.2f} ms "
             f"| pallas-full {t_na:7.2f} ms | max|err| ad={err_ad:.2e} na={err_na:.2e} "
-            f"(scale {ref:.1f}) off_std={args.off_std}"
+            f"(scale {ref:.1f}) off_std={args.off_std} tile_h={args.tile_h} dtype={args.dtype}"
         )
         if err_ad > 1e-2 * ref or err_na > 1e-2 * ref:
             print("FAIL: kernel mismatch", file=sys.stderr)
