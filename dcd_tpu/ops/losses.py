@@ -31,8 +31,18 @@ def penalty_reduced_focal_loss(
     target==1 are positives; 0<=target<1 negatives weighted by (1-t)^beta;
     target==-1 is ignored. Returns (sum loss, num positives).
     Reference: focal_loss.py:57-86.
+
+    The clip must run in fp32 AND its upper bound must be representable:
+    the reference clamps to ``1 - 1e-10`` (focal_loss.py:34,58), but that
+    rounds to exactly 1.0 in fp32 (machine eps 1.19e-7) — and under bf16
+    activations the sigmoid saturates to 1.0 at logit ~6.2, so log(1-p)
+    returned -inf (observed as an inf hm_loss at full-size bf16 batch-16
+    training, fusion-dependent). We clamp to 1 - max(eps, 1e-7), which
+    only binds where the reference's own fp32 math would emit ~inf.
     """
-    prediction = jnp.clip(prediction, eps, 1.0 - eps)
+    prediction = prediction.astype(jnp.float32)
+    prediction = jnp.clip(prediction, eps, 1.0 - max(eps, 1e-7))
+    target = target.astype(jnp.float32)
     positive_index = (target == 1.0).astype(prediction.dtype)
     negative_index = ((target < 1.0) & (target >= 0.0)).astype(prediction.dtype)
 

@@ -170,9 +170,12 @@ def test_trained_ap_floor(cfg, tmp_path):
     assert np.isfinite(float(logs["total_loss"]))
     trained = eval_ap(state)
 
+    # NOTE the R40 ceiling: precision slots only fill up to the number of
+    # valid moderate GTs (6 objects here -> AP <= ~15, see test_eval.py's
+    # 41-slot note); the gate is trained-beats-untrained with a floor.
     key = "Car_image/moderate"  # official bbox AP, 0.7-overlap row
-    assert trained[key] > 50.0, (trained[key], untrained[key])
-    assert trained[key] > untrained[key]
+    assert trained[key] >= 5.0, (trained[key], untrained[key])
+    assert trained[key] > untrained[key], (trained[key], untrained[key])
     mae = direct_depth_mae(state)
     assert mae < 0.5, mae
 

@@ -37,8 +37,10 @@ def main():
                     help="jax.checkpoint the forward (recompute in backward) "
                     "— batch 16 at full size is at the HBM edge otherwise")
     ap.add_argument("--no_donate", action="store_true")
-    ap.add_argument("--accum", type=int, default=1,
-                    help="gradient-accumulation microbatch count")
+    ap.add_argument("--accum", type=int, default=2,
+                    help="gradient-accumulation microbatch count (batch 16 "
+                    "single-shot sits at this chip's HBM edge — see "
+                    "docs/PERF.md round 4)")
     args = ap.parse_args()
 
     import jax

@@ -33,6 +33,11 @@ def main():
                     help="gradient-accumulation microbatches (batch 16 full "
                     "size needs accum=2 or --remat on this chip's HBM)")
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--eval_every", type=int, default=0,
+                    help="every N steps run the OFFICIAL evaluator on a "
+                    "held-out synthetic val split and log the AP trajectory "
+                    "(bbox/bev/3d moderate) — the trained-quality gate")
+    ap.add_argument("--val_scenes", type=int, default=16)
     ap.add_argument("--out_md", default="docs/CONVERGENCE.md")
     ap.add_argument("--out_jsonl", default="docs/convergence_metrics.jsonl")
     args = ap.parse_args()
@@ -79,10 +84,82 @@ def main():
     step_fn = jax.jit(make_train_step(cfg, model, iters_per_epoch=len(batches)),
                       donate_argnums=(0,))
 
+    # ---- held-out val split + official evaluator (AP trajectory) ----
+    ap_hist = []
+    if args.eval_every:
+        import shutil
+        import tempfile
+
+        from dcd_tpu.engine.infer import format_kitti_lines, postprocess
+        from dcd_tpu.evaluation import kitti_eval
+
+        print(f"# encoding {args.val_scenes} held-out val scenes...", file=sys.stderr)
+        val_raw = [synthetic.make_scene(seed=10_000 + s, num_objs=8)
+                   for s in range(args.val_scenes)]
+        val_samples = [
+            encode_targets(img, objs, calib, cfg, img_id=f"{10_000 + s:06d}")
+            for s, (img, objs, calib) in enumerate(val_raw)
+        ]
+
+        infer_fn = jax.jit(
+            lambda params, bs, im, ei, el, cp, ps, sz: postprocess(
+                cfg,
+                model.apply({"params": params, "batch_stats": bs}, im, ei, el,
+                            train=False),
+                cp, ps, sz,
+            )
+        )
+
+        def eval_ap(st, step_no):
+            tmp = tempfile.mkdtemp()
+            rd, gd = os.path.join(tmp, "r"), os.path.join(tmp, "g")
+            os.makedirs(rd)
+            os.makedirs(gd)
+            ids = []
+            for s, (img, objs, calib) in zip(val_samples, val_raw):
+                t = s.targets
+                o = infer_fn(
+                    st.params, st.batch_stats,
+                    jnp.asarray(s.image[None]), jnp.asarray(t["edge_indices"][None]),
+                    jnp.asarray(t["edge_len"][None]), jnp.asarray(t["calib_P_full"][None]),
+                    jnp.asarray(t["pad_size"][None]), jnp.asarray(t["image_size"][None]),
+                )
+                dets = np.asarray(o["dets"])[0]
+                valid = np.asarray(o["valid"])[0]
+                with open(os.path.join(rd, f"{s.img_id}.txt"), "w") as f:
+                    f.write("\n".join(format_kitti_lines(dets, valid)) + "\n")
+                with open(os.path.join(gd, f"{s.img_id}.txt"), "w") as f:
+                    for ob in objs:
+                        f.write(
+                            f"Car {ob.truncation:.2f} {ob.occlusion} {ob.alpha:.2f} "
+                            f"{ob.box2d[0]:.2f} {ob.box2d[1]:.2f} {ob.box2d[2]:.2f} {ob.box2d[3]:.2f} "
+                            f"{ob.h:.2f} {ob.w:.2f} {ob.l:.2f} "
+                            f"{ob.t[0]:.2f} {ob.t[1]:.2f} {ob.t[2]:.2f} {ob.ry:.2f}\n"
+                        )
+                ids.append(s.img_id)
+            split = os.path.join(tmp, "val.txt")
+            with open(split, "w") as f:
+                f.write("\n".join(ids))
+            _, ret = kitti_eval.evaluate_from_files(gd, rd, split, 0, metric="R40")
+            shutil.rmtree(tmp)
+            rec = {
+                "step": step_no,
+                "ap_bbox_mod": round(float(ret["Car_image/moderate"]), 3),
+                "ap_bev_mod_05": round(float(ret["Car_bev_moderate_R40_0.50"]), 3),
+                "ap_3d_mod_05": round(float(ret["Car_3d_moderate_R40_0.50"]), 3),
+                "ap_bev_mod_07": round(float(ret["Car_bev_moderate_R40_0.70"]), 3),
+                "ap_3d_mod_07": round(float(ret["Car_3d_moderate_R40_0.70"]), 3),
+            }
+            ap_hist.append(rec)
+            print(f"#   eval@{step_no}: {rec}", file=sys.stderr)
+            return rec
+
     hist = []
     t0 = time.perf_counter()
     fh = open(args.out_jsonl, "w")
     for it in range(args.steps):
+        if args.eval_every and it % args.eval_every == 0:
+            eval_ap(state, it)
         state, logs = step_fn(state, batches[it % len(batches)])
         if it % args.log_every == 0 or it == args.steps - 1:
             rec = {"step": it, **{k: round(float(v), 5) for k, v in logs.items()}}
@@ -93,6 +170,10 @@ def main():
                   f"edges_MAE={rec.get('edges_MAE', float('nan')):.3f}",
                   file=sys.stderr)
             assert np.isfinite(rec["total_loss"]), rec
+    if args.eval_every:
+        eval_ap(state, args.steps)
+        for rec in ap_hist:
+            fh.write(json.dumps({"ap_eval": rec}) + "\n")
     fh.close()
     wall = time.perf_counter() - t0
 
@@ -118,7 +199,16 @@ def main():
     for k in sorted(set(keys)):
         if k in first and k in last:
             md.append(f"| {k} | {first[k]:.4f} | {last[k]:.4f} |")
+    if ap_hist:
+        md += ["", "## Official-evaluator AP trajectory (held-out synthetic val, moderate)", "",
+               "| step | bbox | bev@0.5 | 3d@0.5 | bev@0.7 | 3d@0.7 |", "|---|---|---|---|---|---|"]
+        for rec in ap_hist:
+            md.append(
+                f"| {rec['step']} | {rec['ap_bbox_mod']:.2f} | {rec['ap_bev_mod_05']:.2f} "
+                f"| {rec['ap_3d_mod_05']:.2f} | {rec['ap_bev_mod_07']:.2f} | {rec['ap_3d_mod_07']:.2f} |")
     ok = last["total_loss"] < first["total_loss"]
+    if ap_hist:
+        ok = ok and ap_hist[-1]["ap_bbox_mod"] > ap_hist[0]["ap_bbox_mod"]
     md += ["", f"**total_loss {'decreased' if ok else 'DID NOT decrease'}: "
            f"{first['total_loss']:.3f} -> {last['total_loss']:.3f}**", ""]
     with open(args.out_md, "w") as f:
