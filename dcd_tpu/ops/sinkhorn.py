@@ -22,6 +22,21 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+# Schur-complement solver for the implicit VJP: "chol" (dense Cholesky of
+# the Schur complement — the reference's strategy,
+# optimal_transport.py:104-117, and the production default) or "cg"
+# (matrix-free Jacobi-preconditioned conjugate gradients; S @ v needs only
+# two B1 matvecs and no (b, n, n) temporary). Measured on hardware at the
+# shipped 2628-edge scale (tools/bench_gmw.py): chol 49.7 ms/step finite,
+# cg 112 ms/step and fp32-fragile (the Schur system is ill-conditioned
+# enough that single-precision PCG needs hundreds of iterations and can
+# break down) — so cg stays an option, oracle-tested at small scale.
+import os as _os
+
+SOLVER = _os.environ.get("DCD_SINKHORN_SOLVER", "chol")
+_CG_TOL = 1e-8
+_CG_MAX_ITERS = 256
+
 
 def sinkhorn_forward(
     M: jnp.ndarray,
@@ -59,6 +74,54 @@ def sinkhorn_forward(
     return P
 
 
+def _schur_solve_cg(B1, d1inv, d2, rhs):
+    """Solve S x = rhs for S = D2 - B1^T D1^-1 B1 (SPD) without forming S.
+
+    Matrix-free Jacobi-preconditioned conjugate gradients: one S @ p is
+    two B1 matvecs (O(b m n)) vs the O(n^3/3) Cholesky of a (b, n, n)
+    materialized S. In practice (see the SOLVER note above) the shipped
+    2628-edge system is ill-conditioned enough that fp32 PCG needs
+    hundreds of iterations and loses to the dense factorization on
+    hardware — kept as an option for smaller graphs / memory-bound
+    settings. Batched over b inside one lax.while_loop; runs until every
+    sample's relative residual is under _CG_TOL.
+    """
+    diagS = d2 - jnp.einsum("bkn,bk->bn", B1 * B1, d1inv)
+    pinv = 1.0 / jnp.maximum(diagS, 1e-30)
+
+    def matvec(x):
+        return d2 * x - jnp.einsum(
+            "bkn,bk->bn", B1, d1inv * jnp.einsum("bkn,bn->bk", B1, x)
+        )
+
+    x0 = jnp.zeros_like(rhs)
+    r0 = rhs
+    z0 = pinv * r0
+    p0 = z0
+    rz0 = (r0 * z0).sum(-1)
+    rhs_nrm = jnp.maximum((rhs * rhs).sum(-1), 1e-30)
+
+    def cond(state):
+        i, x, r, p, rz = state
+        done = jnp.all((r * r).sum(-1) <= (_CG_TOL**2) * rhs_nrm)
+        return (i < _CG_MAX_ITERS) & ~done
+
+    def body(state):
+        i, x, r, p, rz = state
+        Ap = matvec(p)
+        alpha = rz / jnp.maximum((p * Ap).sum(-1), 1e-30)
+        x = x + alpha[:, None] * p
+        r = r - alpha[:, None] * Ap
+        z = pinv * r
+        rz_new = (r * z).sum(-1)
+        beta = rz_new / jnp.maximum(rz, 1e-30)
+        p = z + beta[:, None] * p
+        return i + 1, x, r, p, rz_new
+
+    _, x, _, _, _ = jax.lax.while_loop(cond, body, (0, x0, r0, p0, rz0))
+    return x
+
+
 def _sinkhorn_vjp_dense(P: jnp.ndarray, lmbda: float, v: jnp.ndarray) -> jnp.ndarray:
     """Implicit gradient dJ/dM from dJ/dP (both (b, m, n)).
 
@@ -79,26 +142,29 @@ def _sinkhorn_vjp_dense(P: jnp.ndarray, lmbda: float, v: jnp.ndarray) -> jnp.nda
     d1inv = 1.0 / B.sum(-1)[:, 1:]  # (b, m-1)
     d2 = B.sum(-2)  # (b, n)
     B1 = B[:, 1:, :]  # (b, m-1, n)
-    # Schur complement S = D2 - B1^T D1^-1 B1  (sign-flipped vs the
-    # reference's -S; symmetric positive definite either way)
-    S = jnp.einsum(
-        "bkn,bkm->bnm", B1 * d1inv[:, :, None], B1,
-        preferred_element_type=jnp.float32,
-    )
-    S = jnp.vectorize(jnp.diag, signature="(n)->(n,n)")(d2) - S
 
     vHinv = v * hinv  # (b, m*n)
     blocks = vHinv.reshape(b, m, n)
     u1 = blocks.sum(-1)[:, 1:]  # (b, m-1)
     u2 = blocks.sum(-2)  # (b, n)
 
-    # block solve of [[D1, B1], [B1^T, D2]] [x1; x2] = [u1; u2]:
+    # block solve of [[D1, B1], [B1^T, D2]] [x1; x2] = [u1; u2] via the
+    # Schur complement S = D2 - B1^T D1^-1 B1 (sign-flipped vs the
+    # reference's -S; symmetric positive definite either way):
     #   x2 = S^-1 (u2 - B1^T D1^-1 u1);  x1 = D1^-1 (u1 - B1 x2)
     t = u2 - jnp.einsum("bkn,bk->bn", B1, d1inv * u1)
-    cf, _ = jax.vmap(lambda s: jax.scipy.linalg.cho_factor(s, lower=True))(S)
-    x2 = jax.vmap(
-        lambda f, rhs: jax.scipy.linalg.cho_solve((f, True), rhs)
-    )(cf, t)  # (b, n)
+    if SOLVER == "cg":
+        x2 = _schur_solve_cg(B1, d1inv, d2, t)
+    else:
+        S = jnp.einsum(
+            "bkn,bkm->bnm", B1 * d1inv[:, :, None], B1,
+            preferred_element_type=jnp.float32,
+        )
+        S = jnp.vectorize(jnp.diag, signature="(n)->(n,n)")(d2) - S
+        cf, _ = jax.vmap(lambda s: jax.scipy.linalg.cho_factor(s, lower=True))(S)
+        x2 = jax.vmap(
+            lambda f, rhs: jax.scipy.linalg.cho_solve((f, True), rhs)
+        )(cf, t)  # (b, n)
     x1 = d1inv * (u1 - jnp.einsum("bkn,bn->bk", B1, x2))  # (b, m-1)
 
     # [u3; u4] rows: row 0 of the (m, n) grid is x2 alone; rows 1..m-1 are

@@ -83,3 +83,27 @@ def test_gradient_finite_near_uniform_cost():
     c = jnp.full((b, n), 1.0 / n)
     g = jax.grad(lambda M: regularised_transport(M, r, c, 10.0, 1e-9, 100).std())(M)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_cg_matches_cholesky_solver():
+    """The matrix-free PCG Schur solve must agree with the dense Cholesky
+    path (the reference's strategy) to solver tolerance."""
+    import numpy as np
+
+    from dcd_tpu.ops import sinkhorn as S
+
+    rng = np.random.RandomState(0)
+    b, m, n = 3, 33, 32
+    M = jnp.asarray(rng.rand(b, m, n).astype(np.float32))
+    P = S.sinkhorn_forward(M)
+    g = jnp.asarray(rng.randn(b, m, n).astype(np.float32))
+    old = S.SOLVER
+    try:
+        S.SOLVER = "cg"
+        g_cg = S._sinkhorn_vjp_dense(P, 10.0, g.reshape(b, -1))
+        S.SOLVER = "chol"
+        g_ch = S._sinkhorn_vjp_dense(P, 10.0, g.reshape(b, -1))
+    finally:
+        S.SOLVER = old
+    scale = float(jnp.max(jnp.abs(g_ch))) + 1e-12
+    assert float(jnp.max(jnp.abs(g_cg - g_ch))) / scale < 1e-5

@@ -84,6 +84,17 @@ def main():
 
     initialize_distributed(args.coordinator, args.num_processes, args.process_id)
 
+    # environment dump at startup (reference utils/collect_env.py run from
+    # train.py — same observability, one line per fact)
+    import platform as _platform
+
+    print(
+        f"env: python {_platform.python_version()} | jax {jax.__version__} | "
+        f"backend {jax.default_backend()} | devices {jax.device_count()} "
+        f"({jax.devices()[0].device_kind if jax.devices() else '?'}) | "
+        f"{_platform.platform()}"
+    )
+
     cfg = dgde_run_config()
     if args.config:
         cfg = load_yaml_config(args.config, base=cfg)
