@@ -373,6 +373,12 @@ def _kernel_cw(
     slices, vertical shifts stay dynamic row indexing, and one kernel now
     serves every channel width (the even/odd lane-packed C==64 variant and
     its dual staging are gone).
+
+    The window DMA stays single-buffered (start + wait before the walk):
+    at the hot s4 level the window is ~1 MB against ~250 us of walk per
+    tile — the transfer is ~4% of step time at the measured 429 GB/s, so
+    a manual double-buffer (r3 ADVICE #1) is not worth its scratch cost
+    in the new layout.
     """
     b_ix = pl.program_id(0)
     t_ix = pl.program_id(1)

@@ -165,6 +165,50 @@ class TestPallasKernels:
                 rtol=2e-6, atol=2e-6, err_msg=name,
             )
 
+    def test_backward_bf16_model_dtype(self):
+        """The model-dtype path (bf16 x/mask/weight as under cfg.model.fp16)
+        through the kernels' DMA staging + in-kernel casts, numerically
+        checked against the fp32 XLA oracle with bf16-appropriate
+        tolerances (ADVICE r3: this path was previously exercised only by
+        the TPU throughput bench, which checks speed, not values)."""
+        from dcd_tpu.ops import dcn_pallas
+        from dcd_tpu.ops.dcn import deform_conv2d_dense
+
+        B, H, W, C, Cout, R = 1, 8, 16, 8, 12, 2
+        x, off, mask, w, b = self._inputs(B, H, W, C, Cout, 0.9)
+        xb, mb, wb, bb = (t.astype(jnp.bfloat16) for t in (x, mask, w, b))
+        g = jnp.asarray(
+            np.random.RandomState(11).randn(B, H, W, Cout).astype(np.float32)
+        ).astype(jnp.bfloat16)
+
+        def f_d(x, off, mask, w, b):
+            # oracle in fp32 on the bf16-rounded inputs
+            return deform_conv2d_dense(
+                x.astype(jnp.float32), off, mask.astype(jnp.float32),
+                w.astype(jnp.float32), b.astype(jnp.float32),
+                stride=1, padding=1, radius=R,
+            )
+
+        def f_p(x, off, mask, w, b):
+            return dcn_pallas.deform_conv2d_pallas(x, off, mask, w, b, R, 4)
+
+        out_d, vjp_d = jax.vjp(f_d, xb, off, mb, wb, bb)
+        out_p, vjp_p = jax.vjp(f_p, xb, off, mb, wb, bb)
+        np.testing.assert_allclose(
+            np.asarray(out_p, np.float32), np.asarray(out_d, np.float32),
+            rtol=2e-2, atol=2e-2,
+        )
+        for name, a, want in zip(
+            ["gx", "goff", "gmask", "gw", "gb"],
+            vjp_p(g.astype(out_p.dtype)), vjp_d(g.astype(jnp.float32)),
+        ):
+            scale = float(jnp.max(jnp.abs(np.asarray(want, np.float32)))) + 1e-9
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32) / scale,
+                np.asarray(want, np.float32) / scale,
+                rtol=3e-2, atol=3e-2, err_msg=name,
+            )
+
     @pytest.mark.parametrize("adaptive", [False, True])
     def test_packed_c64_matches_dense(self, adaptive):
         """The lane-packed (2 pixels / register) forward used for the C=64

@@ -217,12 +217,15 @@ def main():
             md.append(f"| {k} | {first[k]:.4f} | {last[k]:.4f} |")
     if ap_hist:
         md += ["", "## Official-evaluator AP trajectory (held-out synthetic val, moderate)", "",
-               "| step | bbox | bev@0.5 | 3d@0.5 | bev@0.7 | 3d@0.7 |", "|---|---|---|---|---|---|"]
+               "| step | bbox | bev@0.5 | 3d@0.5 | bev@0.7 | 3d@0.7 | n_valid dets | max score |",
+               "|---|---|---|---|---|---|---|---|"]
         for rec in ap_hist:
             md.append(
                 f"| {rec['step']} | {rec['ap_bbox_mod']:.2f} | {rec['ap_bev_mod_05']:.2f} "
-                f"| {rec['ap_3d_mod_05']:.2f} | {rec['ap_bev_mod_07']:.2f} | {rec['ap_3d_mod_07']:.2f} |")
-    ok = last["total_loss"] < first["total_loss"]
+                f"| {rec['ap_3d_mod_05']:.2f} | {rec['ap_bev_mod_07']:.2f} | {rec['ap_3d_mod_07']:.2f} "
+                f"| {rec['n_valid']} | {rec['max_raw_score']:.2f} |")
+    loss_ok = last["total_loss"] < first["total_loss"]
+    ok = loss_ok
     if ap_hist:
         # learning-evident gate: detections must appear (or AP rise) over
         # the run — from-scratch synthetic training reaches detection-
@@ -231,8 +234,12 @@ def main():
             ap_hist[-1]["n_valid"] > ap_hist[0]["n_valid"]
             or ap_hist[-1]["ap_bbox_mod"] > ap_hist[0]["ap_bbox_mod"]
         )
-    md += ["", f"**total_loss {'decreased' if ok else 'DID NOT decrease'}: "
+    md += ["", f"**total_loss {'decreased' if loss_ok else 'DID NOT decrease'}: "
            f"{first['total_loss']:.3f} -> {last['total_loss']:.3f}**", ""]
+    if ap_hist:
+        md += [f"**detection emergence: n_valid {ap_hist[0]['n_valid']} -> "
+               f"{ap_hist[-1]['n_valid']}, max score "
+               f"{ap_hist[0]['max_raw_score']:.2f} -> {ap_hist[-1]['max_raw_score']:.2f}**", ""]
     with open(args.out_md, "w") as f:
         f.write("\n".join(md))
     print(json.dumps({"steps": args.steps, "first_loss": first["total_loss"],
