@@ -165,6 +165,36 @@ class TestPallasKernels:
                 rtol=2e-6, atol=2e-6, err_msg=name,
             )
 
+    @pytest.mark.parametrize("layout", ["cw", "wc"])
+    def test_layouts_match_dense(self, layout, monkeypatch):
+        """Both walk layouts — 'cw' (round-4 channels-on-sublanes default)
+        and 'wc' (the width-on-sublanes fallback incl. the lane-packed
+        C==64 variant) — agree with the dense oracle fwd + bwd."""
+        from dcd_tpu.ops import dcn_pallas
+        from dcd_tpu.ops.dcn import deform_conv2d_dense
+
+        monkeypatch.setattr(dcn_pallas, "_LAYOUT", layout)
+        B, H, W, C, Cout, R = 1, 8, 12, 8, 8, 2
+        x, off, mask, w, b = self._inputs(B, H, W, C, Cout, 0.9)
+        g = jnp.asarray(
+            np.random.RandomState(5).randn(B, H, W, Cout).astype(np.float32)
+        )
+
+        def f_d(*a):
+            return deform_conv2d_dense(*a, stride=1, padding=1, radius=R)
+
+        def f_p(*a):
+            return dcn_pallas.deform_conv2d_pallas(*a, R, 4)
+
+        out_d, vjp_d = jax.vjp(f_d, x, off, mask, w, b)
+        out_p, vjp_p = jax.vjp(f_p, x, off, mask, w, b)
+        np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_d), rtol=1e-5, atol=1e-5)
+        for a, want in zip(vjp_p(g), vjp_d(g)):
+            scale = float(jnp.max(jnp.abs(want))) + 1e-9
+            np.testing.assert_allclose(
+                np.asarray(a) / scale, np.asarray(want) / scale, rtol=2e-6, atol=2e-6
+            )
+
     def test_backward_bf16_model_dtype(self):
         """The model-dtype path (bf16 x/mask/weight as under cfg.model.fp16)
         through the kernels' DMA staging + in-kernel casts, numerically
