@@ -101,10 +101,12 @@ def main():
     from dcd_tpu.data.target_encoder import encode_targets
 
     cfg = dgde_run_config()
-    t0 = time.perf_counter()
     n_enc = 24
-    for s in range(n_enc):
-        encode_targets(*synthetic.make_scene(seed=s, num_objs=8), cfg, img_id=f"{s:06d}")
+    scenes = [synthetic.make_scene(seed=s, num_objs=8) for s in range(n_enc)]
+    encode_targets(*scenes[0], cfg, img_id="w")  # warm
+    t0 = time.perf_counter()
+    for s, sc in enumerate(scenes):
+        encode_targets(*sc, cfg, img_id=f"{s:06d}")
     enc_sec = time.perf_counter() - t0
     enc_per_worker = n_enc / enc_sec
 
