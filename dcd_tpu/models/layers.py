@@ -152,7 +152,7 @@ class DCN(nn.Module):
                 weight.astype(x.dtype),
                 bias.astype(x.dtype),
                 self.window_radius,
-                4,
+                8,  # row-tile target; _pick_tile_h shrinks per level to fit VMEM (8 measured best: 100.25 vs 94.5 at 4, 98.1 at 16 img/s end-to-end)
             )
         if impl == "dense":
             return deform_conv2d_dense(
