@@ -146,9 +146,17 @@ def postprocess(
     }
 
 
-def format_kitti_lines(dets, valid, class_names=("Car", "Pedestrian", "Cyclist")):
+def format_kitti_lines(dets, valid, class_names=("Car", "Pedestrian", "Cyclist"),
+                       decimals=2):
     """Host-side KITTI txt rows (reference engine/kitti_eval/
-    generate_kitti_3d_detection — fixed field order, 2 decimals)."""
+    generate_kitti_3d_detection — fixed field order, 2 decimals).
+
+    ``decimals`` matches the reference writer at 2. Oracle-injection
+    harnesses pass a higher precision: the protocol's rotated-IoU kernel
+    (faithfully ported, CUDA rotate_iou.py:18-332) degenerates on *exactly
+    coincident* polygons (returns ~half the true intersection area), and
+    rounding near-perfect detections to 2 decimals can collapse them onto
+    the GT boxes exactly — a case real detections never produce."""
     import numpy as np
 
     lines = []
@@ -158,6 +166,6 @@ def format_kitti_lines(dets, valid, class_names=("Car", "Pedestrian", "Cyclist")
         if not ok:
             continue
         cls = class_names[int(row[0])]
-        vals = " ".join(f"{v:.2f}" for v in row[1:14])
+        vals = " ".join(f"{v:.{decimals}f}" for v in row[1:14])
         lines.append(f"{cls} 0.00 0 {vals}")
     return lines

@@ -78,8 +78,9 @@ def pairwise_l2_dist(x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
     """res[b, i, j] = ||x1[b, i] - x2[b, j]|| (model.py:17-36)."""
     x1n = (x1**2).sum(-1, keepdims=True)
     x2n = (x2**2).sum(-1, keepdims=True)
+    acc = jnp.promote_types(x1.dtype, jnp.float32)  # >= fp32 accumulate
     d2 = x1n + x2n.transpose(0, 2, 1) - 2.0 * jnp.einsum(
-        "bic,bjc->bij", x1, x2, preferred_element_type=jnp.float32
+        "bic,bjc->bij", x1, x2, preferred_element_type=acc
     )
     return jnp.sqrt(jnp.clip(d2, 1e-30))
 

@@ -59,6 +59,16 @@ from .dcn import deform_conv2d_dense
 import os as _os
 
 _PROBE = _os.environ.get("DCD_DCN_PROBE", "")
+if _PROBE:  # pragma: no cover - bench-only path
+    import sys as _sys
+
+    print(
+        f"dcd_tpu WARNING: DCD_DCN_PROBE={_PROBE!r} is set — the p2 DCN "
+        "kernels now compute DELIBERATELY WRONG numerics (A/B timing probes "
+        "for tools/bench_dcn.py). Unset it for any real run.",
+        file=_sys.stderr,
+        flush=True,
+    )
 
 # forward walk data layout: "cw" (round-4 channels-on-sublanes kernel) or
 # "wc" (the earlier width-on-sublanes kernels incl. the lane-packed C==64
@@ -1325,12 +1335,19 @@ def _bwd_x_cw(x_shape, x_dtype, g, offset, mask, weight, radius: int, tile_h: in
 
     # the (1, Cpad, TH, W) output block puts TH on the sublane dim, so TH
     # must be a multiple of 8 (or the whole H) for the Mosaic block-shape
-    # rule — pick the largest fitting candidate
+    # rule — pick the largest fitting candidate; if nothing fits the
+    # budget, the smallest legal divisor is still strictly cheaper in VMEM
+    # than full H, so degrade to that instead of blowing up the estimate
     TH = H
     for cand in (32, 24, 16, 8):
         if H % cand == 0 and vmem_estimate(cand) <= _BWD_BUDGET and cand <= max(tile_h, 8):
             TH = cand
             break
+    else:
+        for cand in (8, 16, 24, 32):
+            if H % cand == 0:
+                TH = cand
+                break
     T = H // TH
     # sources padded (R+2) top/left, (R+1) bottom/right — the transpose of
     # the forward x padding; g zero-pads so out-of-range contributions

@@ -442,3 +442,47 @@ def import_torch_dgde(state_dict: Dict[str, np.ndarray], variables: Dict, cfg):
             _assign(hp, (tname, "conv2", "bias"), sd[f"heads.{tname}.3.bias"])
 
     return params, stats
+
+
+# ---------------------------------------------------------------------------
+# stage-2 GMW torch checkpoint import
+# ---------------------------------------------------------------------------
+
+
+def import_torch_gmw(state_dict: Dict[str, np.ndarray], variables: Dict, depth: int = 12):
+    """Import a reference GMW checkpoint (the released stage-2 weights /
+    ``GMW/main.py:275-297`` resume format) into the flax ``models.gmw.GMW``
+    param tree. Returns a new params dict.
+
+    The towers are plain ksize-1 Conv1d stacks
+    (GMW/model/yi2018cvpr/model.py:5-69 ``Net``: ``conv_in`` then
+    ``conv_%d`` resnet blocks whose preconv/conv1/conv2 each are
+    ``Sequential(Conv1d)`` — the gcn layers are parameterless, and
+    ``perform_bn`` is hard-wired False inside ``conv1d_resnet_block``
+    despite the config default). torch Conv1d (out, in, 1) maps to flax
+    Dense (in, out)."""
+    import flax
+
+    params = flax.core.unfreeze(variables["params"]) if hasattr(flax.core, "unfreeze") else dict(variables["params"])
+    params = jax.tree.map(np.array, params)
+    sd = {
+        (k[len("module."):] if k.startswith("module.") else k): np.asarray(v)
+        for k, v in state_dict.items()
+    }
+
+    def dense(tkey):
+        w = sd[tkey + ".weight"]
+        assert w.ndim == 3 and w.shape[-1] == 1, (tkey, w.shape)
+        return np.transpose(w[:, :, 0], (1, 0)), sd[tkey + ".bias"]
+
+    for tower in ("FeatureExtractor4d", "FeatureExtractor6d"):
+        tp = params[tower]
+        k, b = dense(f"{tower}.conv_in.0")
+        _assign(tp, ("conv_in", "kernel"), k)
+        _assign(tp, ("conv_in", "bias"), b)
+        for i in range(depth):
+            for name in ("preconv", "conv1", "conv2"):
+                k, b = dense(f"{tower}.conv_{i}.{name}.0")
+                _assign(tp, (f"conv_{i}", name, "kernel"), k)
+                _assign(tp, (f"conv_{i}", name, "bias"), b)
+    return params

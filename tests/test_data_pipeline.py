@@ -110,55 +110,8 @@ class TestSamplers:
 @pytest.fixture(scope="module")
 def fake_kitti_root(tmp_path_factory, cfg):
     """Write synthetic scenes as a KITTI directory tree."""
-    import json
-
-    root = tmp_path_factory.mktemp("kitti") / "training"
-    for sub in ("image_2", "label_2", "calib", "ImageSets"):
-        os.makedirs(root / sub, exist_ok=True)
-    kpts_ann = {}
-    ids = []
-    from PIL import Image
-
-    for i in range(4):
-        img, objs, calib = synthetic.make_scene(seed=i, num_objs=4)
-        img_id = f"{i:06d}"
-        ids.append(img_id)
-        Image.fromarray(img).save(root / "image_2" / f"{img_id}.png")
-        with open(root / "calib" / f"{img_id}.txt", "w") as f:
-            f.write("P2: " + " ".join(str(v) for v in calib.P.reshape(-1)) + "\n")
-            f.write("P3: " + " ".join(str(v) for v in calib.P.reshape(-1)) + "\n")
-            f.write("R0_rect: " + " ".join(str(v) for v in np.eye(3).reshape(-1)) + "\n")
-            f.write("Tr_velo_to_cam: " + " ".join(str(v) for v in np.eye(3, 4).reshape(-1)) + "\n")
-        anns = []
-        with open(root / "label_2" / f"{img_id}.txt", "w") as f:
-            for o in objs:
-                f.write(
-                    f"Car {o.truncation:.2f} {o.occlusion} {o.alpha:.2f} "
-                    f"{o.box2d[0]:.2f} {o.box2d[1]:.2f} {o.box2d[2]:.2f} {o.box2d[3]:.2f} "
-                    f"{o.h:.2f} {o.w:.2f} {o.l:.2f} "
-                    f"{o.t[0]:.2f} {o.t[1]:.2f} {o.t[2]:.2f} {o.ry:.2f}\n"
-                )
-                # annotation stores bottom-centered kpts (loader shifts by h/2)
-                kp = o.extra_kpts_3D.copy()
-                kp[:, 1] += o.h / 2
-                anns.append(
-                    {
-                        "dim": [round(o.h, 2), round(o.w, 2), round(o.l, 2)],
-                        "3dkeypoints": kp.reshape(-1).tolist(),
-                        "2dkeypoints": np.zeros((kp.shape[0], 3)).reshape(-1).tolist(),
-                        "find_pcl": 1,
-                    }
-                )
-        kpts_ann[str(int(img_id))] = anns
-    with open(root / "ImageSets" / "train.txt", "w") as f:
-        f.write("\n".join(ids))
-    with open(root / "ImageSets" / "val.txt", "w") as f:
-        f.write("\n".join(ids))
-    os.makedirs(root / ".." / "kpts_ann", exist_ok=True)
-    for split in ("train", "val"):
-        with open(root / ".." / "kpts_ann" / f"kpts_ann_{split}.json", "w") as f:
-            json.dump(kpts_ann, f)
-    return str(root)
+    root = tmp_path_factory.mktemp("kitti")
+    return synthetic.write_kitti_tree(str(root), train_seeds=(0, 1, 2, 3), num_objs=4)
 
 
 class TestConcatDataset:

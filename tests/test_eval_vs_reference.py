@@ -204,8 +204,10 @@ def ref_eval_cuda_stubbed(ref_eval):
     sys.path.insert(0, os.path.dirname(__file__))
     import ref_rotate_iou_oracle as oracle
 
+    orig = ref_eval.rotate_iou_gpu_eval
     ref_eval.rotate_iou_gpu_eval = oracle.rotate_iou_gpu_eval
-    return ref_eval
+    yield ref_eval
+    ref_eval.rotate_iou_gpu_eval = orig
 
 
 def test_rotate_iou_bitwise_vs_transcribed_kernel():

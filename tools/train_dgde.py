@@ -72,6 +72,11 @@ def main():
     import dataclasses
 
     import jax
+
+    # honor an explicit JAX_PLATFORMS request even when a site plugin
+    # (e.g. the axon TPU sitecustomize) force-set jax_platforms at import
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     import jax.numpy as jnp
 
     from dcd_tpu.config import dgde_run_config, load_yaml_config
@@ -295,6 +300,10 @@ def run_eval(cfg, args, model, state, logger):
         metric=cfg.test.metric[0],
     )
     logger.info("\n" + result)
+    import json
+
+    with open(os.path.join(cfg.output_dir, "inference", "result.json"), "w") as f:
+        json.dump({k: float(v) for k, v in ret.items()}, f, indent=1)
 
 
 def generate_for_gmw(cfg, args, model, state, logger):

@@ -43,12 +43,22 @@ def parse_args():
     p.add_argument("--val_every", type=int, default=5, help="epochs between validations (reference GMW/main.py:316-320)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--num_kpts", type=int, default=73)
+    p.add_argument(
+        "--topk", type=int, default=1500,
+        help="edges kept by |dV| in compute_z (GMW/main.py:404); must be "
+        "<= num_kpts*(num_kpts-1)/2 for reduced-keypoint runs",
+    )
     return p.parse_args()
 
 
 def main():
     args = parse_args()
     import jax
+
+    # honor an explicit JAX_PLATFORMS request even when a site plugin
+    # (e.g. the axon TPU sitecustomize) force-set jax_platforms at import
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     import jax.numpy as jnp
 
     from dcd_tpu.data.gen_data import load_gen_data_infer, load_gen_data_train
@@ -63,6 +73,7 @@ def main():
     from dcd_tpu.utils.logger import setup_logger
     from dcd_tpu.utils.metrics import MetricLogger
 
+    n_pairs = args.num_kpts * (args.num_kpts - 1) // 2
     cfg = GMWConfig(
         num_kpts=args.num_kpts,
         lr=args.lr,
@@ -72,6 +83,7 @@ def main():
         cls_weight=args.cls_weight,
         reg_weight=args.reg_weight,
         reg_loss_start_epoch=args.reg_loss_start_epoch,
+        topk=min(args.topk, n_pairs),
     )
     from dcd_tpu.parallel import batch_sharding, make_mesh, replicate
     from dcd_tpu.utils.checkpoint import Checkpointer
