@@ -68,6 +68,13 @@ class Checkpointer:
         path = path or self.last_checkpoint()
         if path is None:
             return state
+        # a bare checkpoint name (--ckpt model_final) resolves against the
+        # checkpoint dir, like the reference's DetectronCheckpointer
+        if not os.path.isabs(path) and not os.path.exists(path):
+            cand = os.path.join(self.save_dir, path)
+            if os.path.exists(cand):
+                path = cand
+        path = os.path.abspath(path)
         has_bs = hasattr(state, "batch_stats")
         if model_only:
             # structure-free restore: the saved opt_state may not match the

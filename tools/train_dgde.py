@@ -296,7 +296,7 @@ def run_eval(cfg, args, model, state, logger):
         os.path.join(args.data_root, "label_2"),
         out_dir,
         os.path.join(args.data_root, "ImageSets", f"{cfg.datasets.test_split}.txt"),
-        current_class=[c.lower() for c in cfg.datasets.detect_classes],
+        current_class=list(cfg.datasets.detect_classes),
         metric=cfg.test.metric[0],
     )
     logger.info("\n" + result)
