@@ -66,6 +66,11 @@ def main():
         help="override backbone dcn impl: dense | pallas | gather | plain",
     )
     ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument(
+        "--dcn_radius", type=int, default=None,
+        help="override the DCN window radius (docs/OFFSET_STATS.md: trained "
+        "offsets sit within ~2.3 px, so 2 is safe for trained checkpoints)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -94,6 +99,14 @@ def main():
                 backbone=dataclasses.replace(cfg.model.backbone, dcn_impl=args.dcn_impl),
             ),
         )
+    if args.dcn_radius is not None:
+        cfg = dataclasses.replace(
+            cfg,
+            model=dataclasses.replace(
+                cfg.model,
+                backbone=dataclasses.replace(cfg.model.backbone, dcn_radius=args.dcn_radius),
+            ),
+        )
     batch = args.batch
     H, W = cfg.input.height_train, cfg.input.width_train
     Ho, Wo = H // 4, W // 4
@@ -115,7 +128,10 @@ def main():
 
     @jax.jit
     def infer(images, edge_idx, edge_len):
-        preds = model.apply(variables, images, edge_idx, edge_len, train=False)
+        preds = model.apply(
+            variables, images, edge_idx, edge_len, train=False,
+            lazy_topk=cfg.test.lazy_reg_heads,
+        )
         return postprocess(cfg, preds, calib_P, pad_size, img_size)
 
     def fetch(out):

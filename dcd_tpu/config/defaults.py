@@ -223,6 +223,11 @@ class TestConfig:
     pred_2d: bool = True
     generate_gmw: bool = False
     uncertainty_as_confidence: bool = False
+    # evaluate the regression heads only at the top-K heatmap peaks at
+    # inference (TPU-first; ~10% end-to-end, see docs/PERF.md round 5).
+    # The dense path (lazy_topk=False in the model call) stays the
+    # reference-parity surface; outputs match up to matmul association.
+    lazy_reg_heads: bool = True
     metric: Tuple[str, ...] = ("R40",)
     detections_per_img: int = 50
     detections_threshold: float = 0.1

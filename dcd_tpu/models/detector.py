@@ -32,6 +32,7 @@ class KeypointDetector(nn.Module):
         edge_indices: Optional[jnp.ndarray] = None,
         edge_len: Optional[jnp.ndarray] = None,
         train: bool = True,
+        lazy_topk: bool = False,
     ) -> Dict[str, jnp.ndarray]:
         # registry dispatch by cfg names (reference make_predictor,
         # detector_predictor.py:205-207; backbone by CONV_BODY)
@@ -44,4 +45,4 @@ class KeypointDetector(nn.Module):
         # train passed positionally: remat's static_argnums only covers
         # positional args
         features = backbone(images.astype(self.dtype), train)
-        return heads(features, edge_indices, edge_len, train=train)
+        return heads(features, edge_indices, edge_len, train=train, lazy_topk=lazy_topk)

@@ -83,6 +83,7 @@ class Predictor(nn.Module):
         edge_indices: Optional[jnp.ndarray] = None,  # (B, L, 2) int
         edge_len: Optional[jnp.ndarray] = None,  # (B,) int
         train: bool = True,
+        lazy_topk: bool = False,
     ) -> Dict[str, jnp.ndarray]:
         cfg = self.cfg
         head = cfg.model.head
@@ -125,77 +126,177 @@ class Predictor(nn.Module):
         )(feature_cls)
 
         # ----- regression heads -----
-        output_regs = []
-        offset_reg_feature = None
-        offset_group_start = None
-        chan_cursor = 0
+        # modules are constructed ONCE so the dense and lazy paths share
+        # the exact same parameters (flax: two constructions of one name
+        # in a single trace would collide)
+        reg_feat_mods = []
+        reg_out_mods = []  # (gi, key, 1x1-conv module) in global key order
         for gi, group in enumerate(head.regression_heads):
-            reg_feature = ConvBnAct(
-                head_conv, 3, act=act, axis_name=self.axis_name, dtype=self.dtype, name=f"reg_feat_{gi}"
-            )(features_reg_in, train)
+            reg_feat_mods.append(
+                ConvBnAct(
+                    head_conv, 3, act=act, axis_name=self.axis_name,
+                    dtype=self.dtype, name=f"reg_feat_{gi}",
+                )
+            )
             for ki, key in enumerate(group):
                 ch = head.regression_channels[gi][ki]
                 kernel_init = nn.initializers.lecun_normal()
                 if "uncertainty" in key and head.uncertainty_init:
                     kernel_init = nn.initializers.variance_scaling(0.0001, "fan_avg", "normal")
-                out = nn.Conv(
-                    ch, (1, 1), use_bias=True, kernel_init=kernel_init,
-                    dtype=self.dtype, name=f"reg_out_{gi}_{key}",
-                )(reg_feature)
-                if key == "3d_offset":
-                    offset_reg_feature = reg_feature
-                    offset_group_start = chan_cursor
-                output_regs.append(out)
-                chan_cursor += ch
-
-        output_reg = jnp.concatenate(output_regs, axis=-1)
-
-        # ----- edge fusion -----
-        if head.enable_edge_fusion and edge_indices is not None:
-            assert offset_reg_feature is not None
+                reg_out_mods.append(
+                    (
+                        gi,
+                        key,
+                        nn.Conv(
+                            ch, (1, 1), use_bias=True, kernel_init=kernel_init,
+                            dtype=self.dtype, name=f"reg_out_{gi}_{key}",
+                        ),
+                    )
+                )
+        do_fusion = head.enable_edge_fusion and edge_indices is not None
+        edge_fusion_mods = None
+        if do_fusion:
+            edge_fusion_mods = (
+                EdgeFusion(
+                    head_conv, classes, head.edge_fusion_kernel_size,
+                    use_bn=(head.edge_fusion_norm == "BN"), use_relu=head.edge_fusion_relu,
+                    axis_name=self.axis_name, dtype=self.dtype, name="trunc_heatmap_conv",
+                ),
+                EdgeFusion(
+                    head_conv, 2, head.edge_fusion_kernel_size,
+                    use_bn=(head.edge_fusion_norm == "BN"), use_relu=head.edge_fusion_relu,
+                    axis_name=self.axis_name, dtype=self.dtype, name="trunc_offset_conv",
+                ),
+            )
             L = edge_indices.shape[1]
             flat_idx = (edge_indices[..., 1] * W + edge_indices[..., 0]).astype(jnp.int32)  # (B, L)
+            edge_valid = jnp.arange(L)[None, :] < edge_len[:, None]  # (B, L)
 
-            def gather(fm):
+            def edge_gather(fm):
                 return jnp.take_along_axis(
                     fm.reshape(B, H * W, -1), flat_idx[:, :, None], axis=1
                 )
 
-            edge_cls_feat = gather(feature_cls)  # (B, L, head_conv)
-            edge_off_feat = gather(offset_reg_feature)
-            edge_cls_out = EdgeFusion(
-                head_conv, classes, head.edge_fusion_kernel_size,
-                use_bn=(head.edge_fusion_norm == "BN"), use_relu=head.edge_fusion_relu,
-                axis_name=self.axis_name, dtype=self.dtype, name="trunc_heatmap_conv",
-            )(edge_cls_feat, train)
-            edge_off_out = EdgeFusion(
-                head_conv, 2, head.edge_fusion_kernel_size,
-                use_bn=(head.edge_fusion_norm == "BN"), use_relu=head.edge_fusion_relu,
-                axis_name=self.axis_name, dtype=self.dtype, name="trunc_offset_conv",
-            )(edge_off_feat, train)
-
-            valid = (jnp.arange(L)[None, :] < edge_len[:, None]).astype(output_cls.dtype)
-            edge_cls_out = edge_cls_out * valid[:, :, None]
-            edge_off_out = edge_off_out * valid[:, :, None]
-
-            def scatter_add(fm, upd):
+            def edge_scatter_add(fm, upd):
                 def one(fm_b, idx_b, upd_b):
                     flat = fm_b.reshape(H * W, -1)
                     return flat.at[idx_b].add(upd_b).reshape(fm_b.shape)
 
                 return jax.vmap(one)(fm, flat_idx, upd)
 
-            output_cls = scatter_add(output_cls, edge_cls_out)
-            off_sl = slice(offset_group_start, offset_group_start + 2)
-            fused_off = scatter_add(output_reg[..., off_sl], edge_off_out)
-            output_reg = jnp.concatenate(
-                [output_reg[..., : off_sl.start], fused_off, output_reg[..., off_sl.stop :]],
-                axis=-1,
+        if not lazy_topk:
+            output_regs = []
+            offset_reg_feature = None
+            offset_group_start = None
+            chan_cursor = 0
+            group_feats = {}
+            for gi, key, out_mod in reg_out_mods:
+                if gi not in group_feats:
+                    group_feats[gi] = reg_feat_mods[gi](features_reg_in, train)
+                out = out_mod(group_feats[gi])
+                if key == "3d_offset":
+                    offset_reg_feature = group_feats[gi]
+                    offset_group_start = chan_cursor
+                output_regs.append(out)
+                chan_cursor += out.shape[-1]
+
+            output_reg = jnp.concatenate(output_regs, axis=-1)
+
+            # ----- edge fusion (reference :172-196) -----
+            if do_fusion:
+                assert offset_reg_feature is not None
+                edge_cls_out = edge_fusion_mods[0](edge_gather(feature_cls), train)
+                edge_off_out = edge_fusion_mods[1](edge_gather(offset_reg_feature), train)
+                vmask = edge_valid.astype(output_cls.dtype)[:, :, None]
+                output_cls = edge_scatter_add(output_cls, edge_cls_out * vmask)
+                off_sl = slice(offset_group_start, offset_group_start + 2)
+                fused_off = edge_scatter_add(output_reg[..., off_sl], edge_off_out * vmask)
+                output_reg = jnp.concatenate(
+                    [output_reg[..., : off_sl.start], fused_off, output_reg[..., off_sl.stop :]],
+                    axis=-1,
+                )
+
+            return {
+                "cls": sigmoid_hm(output_cls).astype(jnp.float32),
+                # the reg map stays in the model dtype: consumers gather a
+                # few POI rows and cast those to fp32 (casting the full
+                # (B, Ho*Wo, 415) map here measured ~10 ms/step at batch
+                # 64, and XLA hoists the convert above the POI gather)
+                "reg": output_reg,
+            }
+
+        # ----- lazy top-K inference path (round 5) -----
+        # Computing every regression head densely only to gather K=50 POI
+        # rows measured ~55 ms/step at batch 64 (10 dense 3x3x256 towers +
+        # 1x1 convs incl. the 146/219-channel extra-kpt maps + the full-map
+        # concat). Here only the class branch and the 3d_offset group (the
+        # edge-fusion target) stay dense; every other group is evaluated on
+        # the 3x3 neighborhoods of the top-K heatmap peaks. Numerically
+        # identical to the dense path up to matmul association (CI-checked
+        # against it in tests/test_predictor_details.py).
+        assert not train, "lazy_topk is an inference-only path"
+        from ..ops.nms import nms_hm, select_topk
+
+        K = cfg.test.detections_per_img
+
+        # dense 3d_offset group + edge fusion into it
+        offset_gi = next(
+            gi for gi, g in enumerate(head.regression_heads) if "3d_offset" in g
+        )
+        offset_feat = reg_feat_mods[offset_gi](features_reg_in, False)
+        dense_outs = {}
+        for gi, key, out_mod in reg_out_mods:
+            if gi == offset_gi:
+                dense_outs[key] = out_mod(offset_feat)
+        if do_fusion:
+            edge_cls_out = edge_fusion_mods[0](edge_gather(feature_cls), False)
+            edge_off_out = edge_fusion_mods[1](edge_gather(offset_feat), False)
+            vmask = edge_valid.astype(output_cls.dtype)[:, :, None]
+            output_cls = edge_scatter_add(output_cls, edge_cls_out * vmask)
+            dense_outs["3d_offset"] = edge_scatter_add(
+                dense_outs["3d_offset"], edge_off_out * vmask
             )
 
+        hm = sigmoid_hm(output_cls).astype(jnp.float32)
+        scores, indexs, clses, ys, xs = select_topk(nms_hm(hm), K=K)
+
+        # one shared (B, K, 3, 3, C) neighborhood gather of the reg input
+        # (zero-padded like the dense convs' SAME padding)
+        xi = xs.astype(jnp.int32)
+        yi = ys.astype(jnp.int32)
+        fpad = jnp.pad(features_reg_in, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        Wp = W + 2
+        nb_idx = (
+            (yi[:, :, None] + jnp.arange(3)[None, None, :]) * Wp
+        )[:, :, :, None] + (xi[:, :, None] + jnp.arange(3)[None, None, :])[:, :, None, :]
+        nb = jnp.take_along_axis(
+            fpad.reshape(B, (H + 2) * Wp, C),
+            nb_idx.reshape(B, K * 9)[:, :, None],
+            axis=1,
+        ).reshape(B * K, 3, 3, C)
+
+        poi_outs = []
+        lazy_feats = {}
+        for gi, key, out_mod in reg_out_mods:
+            if gi == offset_gi:
+                poi = jnp.take_along_axis(
+                    dense_outs[key].reshape(B, H * W, -1),
+                    indexs[:, :, None].astype(jnp.int32), axis=1,
+                )  # (B, K, ch)
+            else:
+                if gi not in lazy_feats:
+                    # SAME conv on the 3x3 patch: the center output equals
+                    # the dense conv at the POI pixel
+                    lazy_feats[gi] = reg_feat_mods[gi](nb, False)[:, 1:2, 1:2, :]
+                poi = out_mod(lazy_feats[gi]).reshape(B, K, -1)
+            poi_outs.append(poi)
+
         return {
-            "cls": sigmoid_hm(output_cls).astype(jnp.float32),
-            "reg": output_reg.astype(jnp.float32),
+            "cls": hm,
+            "reg_pois": jnp.concatenate(poi_outs, axis=-1).astype(jnp.float32),
+            "scores": scores,
+            "clses": clses,
+            "points_xy": jnp.stack([xs, ys], axis=-1),  # (B, K, 2) float
         }
 
 

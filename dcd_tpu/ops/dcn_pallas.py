@@ -369,7 +369,7 @@ def _kernel_p2(
 
 def _kernel_cw(
     x_hbm, off_ref, mask_ref, w_ref, b_ref, out_ref,
-    acc_ref, xraw_ref, xf_ref, sem,
+    acc_ref, xraw_ref, sem,
     *, R, TH, Wo, C, Cout, kh, kw, adaptive,
 ):
     """Channels-on-sublanes / width-on-lanes walk (round-4 layout).
@@ -389,6 +389,15 @@ def _kernel_cw(
     tile — the transfer is ~4% of step time at the measured 429 GB/s, so
     a manual double-buffer (r3 ADVICE #1) is not worth its scratch cost
     in the new layout.
+
+    The walk runs in the MODEL dtype (round 5): the kernel is VMEM-
+    bandwidth-bound on the acc read-modify-write + x reads, and the tap
+    matmul casts the accumulator to the (bf16) weight dtype anyway, so a
+    bf16 walk halves the dominant traffic at no extra output error of
+    consequence (each output pixel sums <=4 bilinear terms per tap; the
+    coefficient product is still formed in fp32 from the fp32 offsets).
+    fp32 inputs keep an exact fp32 walk — the CPU/interpret oracle tests
+    are unaffected.
     """
     b_ix = pl.program_id(0)
     t_ix = pl.program_id(1)
@@ -397,8 +406,8 @@ def _kernel_cw(
     )
     dma.start()
     dma.wait()
-    xf_ref[:] = xraw_ref[:].astype(jnp.float32)
-    dtype = jnp.float32
+    xf_ref = xraw_ref  # walk directly on the staged model-dtype window
+    dtype = xraw_ref.dtype
     off = off_ref[0]  # (TH, 2K, Wp) — W on lanes
     msk = mask_ref[0]  # (TH, K, Wp)
 
@@ -427,11 +436,18 @@ def _kernel_cw(
             a_lo = b_lo = jnp.int32(-R)
             a_hi = b_hi = jnp.int32(R + 1)
 
+        # the sigmoid mask is per-pixel like the bilinear weights: fold it
+        # into the 2-D coefficient product instead of multiplying the full
+        # (TH, C, Wo) accumulator (one 3-D multiply per tap saved)
+        mk2 = msk[:, k, :Wo].astype(jnp.float32)
+
         def a_body(ai, carry):
             a = ai - R  # vertical shift in [-R, R+1]
+            # fp32 (TH, Wo) coefficients — cheap 2-D; only the combined
+            # product is cast to the walk dtype
             wy = (
                 jnp.where(iy == a, 1.0 - fy, 0.0) + jnp.where(iy == a - 1, fy, 0.0)
-            ).astype(dtype)  # (TH, Wo) — cheap 2-D
+            ) * mk2
             y0 = (i - (kh // 2)) + a + R + 1
 
             def v_pass():
@@ -439,16 +455,21 @@ def _kernel_cw(
                     wx = (
                         jnp.where(ix == bb, 1.0 - fx, 0.0)
                         + jnp.where(ix == bb - 1, fx, 0.0)
-                    ).astype(dtype)
+                    )
                     x0 = (j - (kw // 2)) + bb + R + 1
 
                     def fma():
                         # (TH, 1, Wo) coefficient broadcast along the C
                         # sublanes — native sublane splat, no relayout
-                        w2 = (wy * wx)[:, None, :]
+                        if _PROBE == "const_coeff":
+                            w2 = jnp.full((TH, 1, Wo), 0.25, dtype)
+                        else:
+                            w2 = (wy * wx)[:, None, :].astype(dtype)
+                        y_sl = 0 if _PROBE == "aligned_slice" else y0
+                        x_sl = 0 if _PROBE == "aligned_slice" else x0
                         acc_ref[:] = (
                             acc_ref[:]
-                            + w2 * xf_ref[pl.ds(y0, TH), :, x0 : x0 + Wo]
+                            + w2 * xf_ref[pl.ds(y_sl, TH), :, x_sl : x_sl + Wo]
                         )
 
                     if adaptive:
@@ -463,8 +484,7 @@ def _kernel_cw(
             return carry
 
         jax.lax.fori_loop(0, win, a_body, 0)
-        mk = msk[:, k, :Wo].astype(dtype)[:, None, :]  # (TH, 1, Wo)
-        acc = acc_ref[:] * mk
+        acc = acc_ref[:]  # mask already folded into the walk coefficients
         mat_dtype = w_ref.dtype
         # contract channels: (TH, C, Wo) x (C, Cout) -> (TH, Wo, Cout);
         # lhs contracting dim is the sublane dim (the MXU's natural A^T B)
@@ -493,9 +513,10 @@ def _forward_pallas_cw(x, offset, mask, weight, bias, radius: int, tile_h: int, 
     itemsize = jnp.dtype(x.dtype).itemsize
 
     def vmem_estimate(th: int) -> int:
-        x_stage = (th + halo) * Cpad * Wl * (4 + itemsize)
+        # model-dtype walk: one staged x window + a model-dtype accumulator
+        x_stage = (th + halo) * Cpad * Wl * itemsize
         offs = 2 * th * 3 * K * Wl * 4
-        acc = th * Cpad * Wo * 4
+        acc = th * Cpad * Wo * itemsize
         out = 2 * th * Wo * Cout * 2
         return x_stage + offs + acc + out
 
@@ -531,9 +552,8 @@ def _forward_pallas_cw(x, offset, mask, weight, bias, radius: int, tile_h: int, 
         ),
         out_shape=jax.ShapeDtypeStruct((B, Ho, Wo, Cout), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((TH, Cpad, Wo), jnp.float32),  # window accumulator
+            pltpu.VMEM((TH, Cpad, Wo), x.dtype),  # window accumulator
             pltpu.VMEM((TH + halo, Cpad, Wl), x.dtype),  # x DMA landing
-            pltpu.VMEM((TH + halo, Cpad, Wl), jnp.float32),  # x fp32
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=_COMPILER_PARAMS,

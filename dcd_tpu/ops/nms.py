@@ -75,4 +75,6 @@ def select_point_of_interest(index: jnp.ndarray, feature_maps: jnp.ndarray) -> j
         index = index[:, :, 1] * W + index[:, :, 0]
     index = index.reshape(B, -1).astype(jnp.int32)
     flat = feature_maps.reshape(B, H * W, C)
-    return jnp.take_along_axis(flat, index[:, :, None], axis=1)
+    # gather in the map's dtype, cast the few POI rows to fp32 for the
+    # geometry decode (casting the full map costs ~10 ms/step at batch 64)
+    return jnp.take_along_axis(flat, index[:, :, None], axis=1).astype(jnp.float32)

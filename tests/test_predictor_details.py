@@ -89,3 +89,38 @@ def test_edge_fusion_touches_only_ring(cfg):
     mask[sl] = False
     np.testing.assert_allclose(r_f[..., mask], r_n[..., mask], atol=1e-6)
     np.testing.assert_allclose(r_f[1:, :, sl], r_n[1:, :, sl], atol=1e-6)
+
+
+def test_lazy_topk_matches_dense(cfg):
+    """The lazy top-K inference path (class + 3d_offset dense, every other
+    regression group evaluated on 3x3 POI neighborhoods) must reproduce the
+    dense path's POI rows exactly up to matmul association."""
+    from dcd_tpu.ops.nms import nms_hm, select_point_of_interest, select_topk
+
+    model = Predictor(cfg)
+    B, H, W, C = 2, 16, 24, 8
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    L = (H + W) * 2
+    ei = jnp.stack(
+        [jnp.asarray(rng.randint(0, W, (B, L))), jnp.asarray(rng.randint(0, H, (B, L)))],
+        axis=-1,
+    )
+    el = jnp.asarray([L - 3, L // 2], jnp.int32)
+    v = model.init(jax.random.PRNGKey(0), x, ei, el, train=False)
+    dense = model.apply(v, x, ei, el, train=False)
+    lazy = model.apply(v, x, ei, el, train=False, lazy_topk=True)
+
+    np.testing.assert_allclose(np.asarray(lazy["cls"]), np.asarray(dense["cls"]), atol=1e-6)
+    K = cfg.test.detections_per_img
+    scores, indexs, clses, ys, xs = select_topk(nms_hm(dense["cls"]), K=K)
+    pois = select_point_of_interest(indexs, dense["reg"])
+    np.testing.assert_allclose(np.asarray(lazy["scores"]), np.asarray(scores), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(lazy["clses"]), np.asarray(clses), atol=0)
+    np.testing.assert_allclose(
+        np.asarray(lazy["points_xy"]),
+        np.asarray(jnp.stack([xs, ys], axis=-1)), atol=0,
+    )
+    np.testing.assert_allclose(
+        np.asarray(lazy["reg_pois"]), np.asarray(pois), rtol=2e-5, atol=2e-5
+    )

@@ -38,6 +38,13 @@ def main():
                     "held-out synthetic val split and log the AP trajectory "
                     "(bbox/bev/3d moderate) — the trained-quality gate")
     ap.add_argument("--val_scenes", type=int, default=16)
+    ap.add_argument("--depth_modes", default="edges",
+                    help="comma list of OUTPUT_DEPTH modes to evaluate at "
+                    "each AP checkpoint (edges is the shipped default; "
+                    "soft/direct are the reference's easier ensembles)")
+    ap.add_argument("--save_ckpt", default=None,
+                    help="orbax checkpoint dir; saves model_final at the end "
+                    "(feeds the two-stage DGDE->GMW artifact)")
     ap.add_argument("--out_md", default="docs/CONVERGENCE.md")
     ap.add_argument("--out_jsonl", default="docs/convergence_metrics.jsonl")
     args = ap.parse_args()
@@ -110,38 +117,52 @@ def main():
             for s, (img, objs, calib) in enumerate(val_raw)
         ]
 
-        infer_fn = jax.jit(
-            lambda params, bs, im, ei, el, cp, ps, sz: postprocess(
+        depth_modes = [m.strip() for m in args.depth_modes.split(",") if m.strip()]
+        infer_fns = {}
+        for m in depth_modes:
+            mode_cfg = dataclasses.replace(
                 eval_cfg,
-                model.apply({"params": params, "batch_stats": bs}, im, ei, el,
-                            train=False),
-                cp, ps, sz,
+                model=dataclasses.replace(
+                    eval_cfg.model,
+                    head=dataclasses.replace(eval_cfg.model.head, output_depth=m),
+                ),
             )
-        )
+            infer_fns[m] = jax.jit(
+                lambda params, bs, im, ei, el, cp, ps, sz, _c=mode_cfg: postprocess(
+                    _c,
+                    model.apply({"params": params, "batch_stats": bs}, im, ei, el,
+                                train=False, lazy_topk=_c.test.lazy_reg_heads),
+                    cp, ps, sz,
+                )
+            )
 
         def eval_ap(st, step_no):
             tmp = tempfile.mkdtemp()
-            rd, gd = os.path.join(tmp, "r"), os.path.join(tmp, "g")
-            os.makedirs(rd)
+            gd = os.path.join(tmp, "g")
+            rds = {m: os.path.join(tmp, f"r_{m}") for m in depth_modes}
             os.makedirs(gd)
+            for d in rds.values():
+                os.makedirs(d)
             ids = []
             n_valid_total = 0
             max_raw_score = 0.0
             for s, (img, objs, calib) in zip(val_samples, val_raw):
                 t = s.targets
-                o = infer_fn(
-                    st.params, st.batch_stats,
-                    jnp.asarray(s.image[None]), jnp.asarray(t["edge_indices"][None]),
-                    jnp.asarray(t["edge_len"][None]), jnp.asarray(t["calib_P_full"][None]),
-                    jnp.asarray(t["pad_size"][None]), jnp.asarray(t["image_size"][None]),
-                )
-                dets = np.asarray(o["dets"])[0]
-                valid = np.asarray(o["valid"])[0]
-                n_valid_total += int(valid.sum())
-                if dets.shape[0]:
-                    max_raw_score = max(max_raw_score, float(dets[:, 13].max()))
-                with open(os.path.join(rd, f"{s.img_id}.txt"), "w") as f:
-                    f.write("\n".join(format_kitti_lines(dets, valid)) + "\n")
+                for m in depth_modes:
+                    o = infer_fns[m](
+                        st.params, st.batch_stats,
+                        jnp.asarray(s.image[None]), jnp.asarray(t["edge_indices"][None]),
+                        jnp.asarray(t["edge_len"][None]), jnp.asarray(t["calib_P_full"][None]),
+                        jnp.asarray(t["pad_size"][None]), jnp.asarray(t["image_size"][None]),
+                    )
+                    dets = np.asarray(o["dets"])[0]
+                    valid = np.asarray(o["valid"])[0]
+                    if m == depth_modes[0]:
+                        n_valid_total += int(valid.sum())
+                        if dets.shape[0]:
+                            max_raw_score = max(max_raw_score, float(dets[:, 13].max()))
+                    with open(os.path.join(rds[m], f"{s.img_id}.txt"), "w") as f:
+                        f.write("\n".join(format_kitti_lines(dets, valid)) + "\n")
                 with open(os.path.join(gd, f"{s.img_id}.txt"), "w") as f:
                     for ob in objs:
                         f.write(
@@ -154,18 +175,17 @@ def main():
             split = os.path.join(tmp, "val.txt")
             with open(split, "w") as f:
                 f.write("\n".join(ids))
-            _, ret = kitti_eval.evaluate_from_files(gd, rd, split, 0, metric="R40")
+            rec = {"step": step_no, "n_valid": int(n_valid_total),
+                   "max_raw_score": round(float(max_raw_score), 4)}
+            for m in depth_modes:
+                _, ret = kitti_eval.evaluate_from_files(gd, rds[m], split, 0, metric="R40")
+                sfx = "" if m == depth_modes[0] else f"_{m}"
+                rec[f"ap_bbox_mod{sfx}"] = round(float(ret["Car_image/moderate"]), 3)
+                rec[f"ap_bev_mod_05{sfx}"] = round(float(ret["Car_bev_moderate_R40_0.50"]), 3)
+                rec[f"ap_3d_mod_05{sfx}"] = round(float(ret["Car_3d_moderate_R40_0.50"]), 3)
+                rec[f"ap_bev_mod_07{sfx}"] = round(float(ret["Car_bev_moderate_R40_0.70"]), 3)
+                rec[f"ap_3d_mod_07{sfx}"] = round(float(ret["Car_3d_moderate_R40_0.70"]), 3)
             shutil.rmtree(tmp)
-            rec = {
-                "step": step_no,
-                "ap_bbox_mod": round(float(ret["Car_image/moderate"]), 3),
-                "ap_bev_mod_05": round(float(ret["Car_bev_moderate_R40_0.50"]), 3),
-                "ap_3d_mod_05": round(float(ret["Car_3d_moderate_R40_0.50"]), 3),
-                "ap_bev_mod_07": round(float(ret["Car_bev_moderate_R40_0.70"]), 3),
-                "ap_3d_mod_07": round(float(ret["Car_3d_moderate_R40_0.70"]), 3),
-                "n_valid": int(n_valid_total),
-                "max_raw_score": round(float(max_raw_score), 4),
-            }
             ap_hist.append(rec)
             print(f"#   eval@{step_no}: {rec}", file=sys.stderr)
             return rec
@@ -193,6 +213,12 @@ def main():
     fh.close()
     wall = time.perf_counter() - t0
 
+    if args.save_ckpt:
+        from dcd_tpu.utils.checkpoint import Checkpointer
+
+        Checkpointer(args.save_ckpt).save("model_final", state)
+        print(f"# saved checkpoint to {args.save_ckpt}/model_final", file=sys.stderr)
+
     first, last = hist[0], hist[-1]
     keys = [k for k in last if k.endswith("_MAE") or k.endswith("IoU")] + [
         "total_loss", "hm_loss", "depth_loss", "keypoint_loss", "orien_loss",
@@ -216,14 +242,24 @@ def main():
         if k in first and k in last:
             md.append(f"| {k} | {first[k]:.4f} | {last[k]:.4f} |")
     if ap_hist:
+        modes = [m.strip() for m in args.depth_modes.split(",") if m.strip()]
         md += ["", "## Official-evaluator AP trajectory (held-out synthetic val, moderate)", "",
-               "| step | bbox | bev@0.5 | 3d@0.5 | bev@0.7 | 3d@0.7 | n_valid dets | max score |",
-               "|---|---|---|---|---|---|---|---|"]
+               f"OUTPUT_DEPTH mode of the headline columns: **{modes[0]}** "
+               "(the shipped config).", "",
+               "| step | bbox | bev@0.5 | 3d@0.5 | bev@0.7 | 3d@0.7 |"
+               + "".join(f" 3d@0.5 ({m}) | 3d@0.7 ({m}) |" for m in modes[1:])
+               + " n_valid dets | max score |",
+               "|---|---|---|---|---|---|" + "---|---|" * len(modes[1:]) + "---|---|"]
         for rec in ap_hist:
+            extra = "".join(
+                f" {rec[f'ap_3d_mod_05_{m}']:.2f} | {rec[f'ap_3d_mod_07_{m}']:.2f} |"
+                for m in modes[1:]
+            )
             md.append(
                 f"| {rec['step']} | {rec['ap_bbox_mod']:.2f} | {rec['ap_bev_mod_05']:.2f} "
-                f"| {rec['ap_3d_mod_05']:.2f} | {rec['ap_bev_mod_07']:.2f} | {rec['ap_3d_mod_07']:.2f} "
-                f"| {rec['n_valid']} | {rec['max_raw_score']:.2f} |")
+                f"| {rec['ap_3d_mod_05']:.2f} | {rec['ap_bev_mod_07']:.2f} | {rec['ap_3d_mod_07']:.2f} |"
+                + extra
+                + f" {rec['n_valid']} | {rec['max_raw_score']:.2f} |")
     loss_ok = last["total_loss"] < first["total_loss"]
     ok = loss_ok
     if ap_hist:

@@ -231,6 +231,7 @@ def run_eval(cfg, args, model, state, logger):
         preds = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             images, edge_idx, edge_len, train=False,
+            lazy_topk=cfg.test.lazy_reg_heads,
         )
         return postprocess(cfg, preds, calib_P, pad_size, img_size)
 
@@ -370,6 +371,7 @@ def generate_for_gmw(cfg, args, model, state, logger):
         preds = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             images, edge_idx, edge_len, train=False,
+            lazy_topk=gen_cfg.test.lazy_reg_heads,
         )
         return postprocess(gen_cfg, preds, calib_P, pad_size, img_size)
 
