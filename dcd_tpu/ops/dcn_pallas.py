@@ -871,8 +871,13 @@ def _bwd_pom_kernel_cw(
     (TH, W, C)-sized gWk plane is ever materialized. Also adds the
     forward's adaptive scalar window gating (the v1 backward walked all
     (2R+2)^2 positions unconditionally).
+
+    Unlike the forward, this walk stays in fp32 (round-5 measurement):
+    a bf16 walk was ~50%% SLOWER here (the packed-sublane broadcast of the
+    2-D coefficient planes relayouts per FMA) and broke grad_offset —
+    dsy/dsx are differences of near-equal sampled rows, and bf16 rounding
+    survives the cancellation (measured 0.59 rel err at C=256).
     """
-    dtype = jnp.float32
     b_ix = pl.program_id(0)
     t_ix = pl.program_id(1)
     dma = pltpu.make_async_copy(
@@ -881,9 +886,10 @@ def _bwd_pom_kernel_cw(
     dma.start()
     dma.wait()
     xf_ref[:] = xraw_ref[:].astype(jnp.float32)
+    dtype = jnp.float32
     off = off_ref[0]  # (TH, 2K, W) — W on lanes
     msk = mask_ref[0]  # (TH, K, W)
-    g3 = g_ref[0].astype(dtype)  # (TH, Wo, Cout)
+    g3 = g_ref[0].astype(jnp.float32)  # (TH, Wo, Cout)
     K = kh * kw
     win = 2 * R + 2
 
@@ -975,12 +981,13 @@ def _bwd_pom_kernel_cw(
             )  # (TH, Wo, Cout)
             return jnp.sum(qW * g3, axis=-1, keepdims=True)  # (TH, Wo, 1)
 
-        mk = msk[:, k, :Wo].astype(dtype)[:, :, None]  # (TH, Wo, 1)
+        # fp32: these scale the fp32 reduce results feeding fp32 outputs
+        mk = msk[:, k, :Wo].astype(jnp.float32)[:, :, None]  # (TH, Wo, 1)
         gm_ref[0, :, :, k : k + 1] = reduce_against_g(s_ref).astype(gm_ref.dtype)
         # clip passes gradient on the closed interval (matches lax.min/max
         # VJP tie-breaking: both pick the first operand on equality)
-        cy = ((dyr >= -R) & (dyr <= R)).astype(dtype)[:, :, None]
-        cx = ((dxr >= -R) & (dxr <= R)).astype(dtype)[:, :, None]
+        cy = ((dyr >= -R) & (dyr <= R)).astype(jnp.float32)[:, :, None]
+        cx = ((dxr >= -R) & (dxr <= R)).astype(jnp.float32)[:, :, None]
         go_ref[0, :, :, 2 * k : 2 * k + 1] = (
             cy * mk * reduce_against_g(dsy_ref)
         ).astype(go_ref.dtype)
@@ -1249,8 +1256,11 @@ def _bwd_x_kernel_cw(
     in the (C, TH, W) accumulator layout via one MXU contraction, and the
     coefficient planes are cheap 2-D lane-major arrays. Adds the adaptive
     scalar gating (bounds over the whole staged offset tile — a superset
-    of every shifted window, so gating is exact)."""
-    dtype = jnp.float32
+    of every shifted window, so gating is exact).
+
+    Like _bwd_pom_kernel_cw this walk stays fp32 (round-5 measurement: a
+    bf16 walk here was ~35%% slower — the packed-sublane coefficient
+    broadcasts relayout per FMA — and added grad_x noise)."""
     K = kh * kw
     win = 2 * R + 2
     b_ix = pl.program_id(0)
@@ -1266,6 +1276,7 @@ def _bwd_x_kernel_cw(
     dma_o.wait()
     dma_m.wait()
     gf_ref[:] = graw_ref[:].astype(jnp.float32)
+    dtype = jnp.float32
     acc_ref[:] = jnp.zeros_like(acc_ref)
     for k in range(K):
         i, j = divmod(k, kw)
@@ -1290,18 +1301,22 @@ def _bwd_x_kernel_cw(
 
             def v_pass():
                 g_rows = gf_ref[pl.ds(y0, TH), :, :]  # (TH, Cout, Wl)
-                # t_k = mask ⊙ (W_k g): (C, TH, Wl) — matches acc layout
-                tk_ref[:] = jax.lax.dot_general(
-                    wk, g_rows, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ) * mask_ref[pl.ds(y0, TH), k, :].astype(dtype)[None, :, :]
+                # t_k = mask ⊙ (W_k g): (C, TH, Wl) — matches acc layout;
+                # the contraction accumulates fp32, the product lands in
+                # the walk dtype
+                tk_ref[:] = (
+                    jax.lax.dot_general(
+                        wk, g_rows, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    * mask_ref[pl.ds(y0, TH), k, :].astype(jnp.float32)[None, :, :]
+                ).astype(dtype)
                 dyr = off_ref[pl.ds(y0, TH), 2 * k, :]  # (TH, Wl)
                 dy = jnp.clip(dyr, -R, R)
                 iy = jnp.floor(dy)
                 fy = dy - iy
-                wy = (
-                    jnp.where(iy == a, 1.0 - fy, 0.0) + jnp.where(iy == a - 1, fy, 0.0)
-                ).astype(dtype)
+                # fp32 2-D coefficients; only the combined product is cast
+                wy = jnp.where(iy == a, 1.0 - fy, 0.0) + jnp.where(iy == a - 1, fy, 0.0)
                 dxr = off_ref[pl.ds(y0, TH), 2 * k + 1, :]
                 dx = jnp.clip(dxr, -R, R)
                 ix = jnp.floor(dx)
@@ -1315,8 +1330,8 @@ def _bwd_x_kernel_cw(
                         wxs = (
                             jnp.where(ixs == bb, 1.0 - fxs, 0.0)
                             + jnp.where(ixs == bb - 1, fxs, 0.0)
-                        ).astype(dtype)
-                        coef = (wy[:, x0 : x0 + W] * wxs)[None, :, :]  # (1, TH, W)
+                        )
+                        coef = (wy[:, x0 : x0 + W] * wxs)[None, :, :].astype(dtype)
                         acc_ref[:] = acc_ref[:] + coef * tk_ref[:, :, x0 : x0 + W]
 
                     if adaptive:

@@ -44,6 +44,14 @@ def main():
         "jax_compilation_cache_dir",
         os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
     )
+    # the XLA-dense ORACLE must not run its f32 matmuls as bf16 passes
+    # (TPU default): the correctness gates below compare against it at
+    # 1e-2/1e-4, and default precision puts ~2e-3 of noise on the oracle's
+    # grad_offset/grad_mask (round-5 finding; kernels were fine). Only for
+    # f32 runs — a global 'highest' asks Mosaic for fp32 contractions on
+    # the bf16 kernels' matmuls, which it rejects ("Bad lhs type")
+    if args.dtype == "float32" and not os.environ.get("JAX_DEFAULT_MATMUL_PRECISION"):
+        jax.config.update("jax_default_matmul_precision", "highest")
 
     from dcd_tpu.ops.dcn import deform_conv2d_dense
     from dcd_tpu.ops import dcn_pallas
@@ -152,7 +160,12 @@ def main():
                 f"{name} bwd: pallas {t_bp:7.2f} ms | xla-dense {t_bd:7.2f} ms "
                 f"| rel errs {['%.1e' % e for e in errs]}"
             )
-            if max(errs) > 1e-4:
+            # bf16 runs: BOTH sides accumulate sampling sums in bf16, so
+            # agreement is bounded by bf16 rounding (~1e-2), not kernel
+            # fidelity — the tight cross-check is the f32 run (and the f64
+            # finite-difference oracles in tests/test_dcn.py)
+            bwd_tol = 1e-4 if mdtype == jnp.float32 else 2e-2
+            if max(errs) > bwd_tol:
                 print("FAIL: backward mismatch", file=sys.stderr)
                 sys.exit(1)
 
