@@ -190,12 +190,21 @@ def main():
             print(f"#   eval@{step_no}: {rec}", file=sys.stderr)
             return rec
 
+    ckptr = None
+    if args.save_ckpt:
+        from dcd_tpu.utils.checkpoint import Checkpointer
+
+        ckptr = Checkpointer(args.save_ckpt)
+
     hist = []
     t0 = time.perf_counter()
     fh = open(args.out_jsonl, "w")
     for it in range(args.steps):
         if args.eval_every and it % args.eval_every == 0:
             eval_ap(state, it)
+            if ckptr is not None and it > 0:
+                # periodic save so a hung device session can't lose the run
+                ckptr.save("model_final", state)
         state, logs = step_fn(state, batches[it % len(batches)])
         if it % args.log_every == 0 or it == args.steps - 1:
             rec = {"step": it, **{k: round(float(v), 5) for k, v in logs.items()}}
@@ -213,10 +222,8 @@ def main():
     fh.close()
     wall = time.perf_counter() - t0
 
-    if args.save_ckpt:
-        from dcd_tpu.utils.checkpoint import Checkpointer
-
-        Checkpointer(args.save_ckpt).save("model_final", state)
+    if ckptr is not None:
+        ckptr.save("model_final", state)
         print(f"# saved checkpoint to {args.save_ckpt}/model_final", file=sys.stderr)
 
     first, last = hist[0], hist[-1]
