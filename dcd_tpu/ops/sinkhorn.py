@@ -36,6 +36,14 @@ import os as _os
 SOLVER = _os.environ.get("DCD_SINKHORN_SOLVER", "chol")
 _CG_TOL = 1e-8
 _CG_MAX_ITERS = 256
+# Forward kernel-matrix dtype (VERDICT r4 #7 route 2): "bfloat16" halves
+# the HBM reads of the (b, n, n) K matrix in every scaling-iteration
+# matvec (the iterations stay fp32: u/v/r/c and the accumulators). The
+# fixed point then carries ~1e-3 relative noise and the 1e-9 u-tolerance
+# can no longer trigger, so the loop runs to max_iterations — measured at
+# the shipped scale in tools/bench_gmw.py before judging (see the note in
+# docs/PERF.md round 5). fp32 stays the default.
+K_DTYPE = _os.environ.get("DCD_SINKHORN_K_DTYPE", "float32")
 
 
 def sinkhorn_forward(
@@ -50,6 +58,8 @@ def sinkhorn_forward(
     """Transport matrix P for cost M (b, m, n); r (b, m), c (b, n) marginals."""
     b, m, n = M.shape
     K = jnp.exp(-lmbda * jnp.minimum(M, max_distance))
+    if K_DTYPE == "bfloat16":
+        K = K.astype(jnp.bfloat16)
     if r is None:
         r = jnp.full((b, m), 1.0 / m, M.dtype)
     if c is None:
@@ -57,20 +67,25 @@ def sinkhorn_forward(
     r = r[..., None]  # (b, m, 1)
     c = c[..., None]  # (b, n, 1)
 
+    def kmat(vec, eq):
+        # matvec against K in its storage dtype, fp32 accumulation
+        return jnp.einsum(eq, K, vec.astype(K.dtype),
+                          preferred_element_type=jnp.float32)
+
     def cond(state):
         i, u, u_prev = state
         return (i < max_iterations) & ~jnp.all(jnp.abs(u - u_prev) <= tolerance)
 
     def body(state):
         i, u, _ = state
-        Ktu = jnp.einsum("bmn,bm1->bn1", K, u)
-        u_new = r / jnp.einsum("bmn,bn1->bm1", K, c / Ktu)
+        Ktu = kmat(u, "bmn,bm1->bn1")
+        u_new = r / kmat(c / Ktu, "bmn,bn1->bm1")
         return i + 1, u_new, u
 
     u0 = r
     _, u, _ = jax.lax.while_loop(cond, body, (0, u0, jnp.ones_like(u0)))
-    v = c / jnp.einsum("bmn,bm1->bn1", K, u)
-    P = (u * K) * v.transpose(0, 2, 1)
+    v = c / kmat(u, "bmn,bm1->bn1")
+    P = (u * K.astype(M.dtype)) * v.transpose(0, 2, 1)
     return P
 
 
